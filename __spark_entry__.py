@@ -1,38 +1,54 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship validation run over /root/testdata/sf0.001: applies
+                 a declarative check suite (the engine's core capability) to
+                 the lineitem table and returns per-partition verdicts.
+queries()      — SURVEY.md §2 operator surface over the shared parquet tables.
+oracle_sql()   — matching ANSI SQL for DuckDB (same column names/rounding).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doc_quality_check_spark.queries import ORACLES, QUERIES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: run a declarative check suite over sf0.001 lineitem —
+    row-level domain/range checks compiled to Catalyst predicates, verdicts
+    grouped per l_returnflag partition (the engine's per-partition verdict
+    path, suite/runner.py)."""
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    suite = CheckSuite(
+        name="lineitem_quality",
+        partition_by=["l_returnflag"],
+        checks=[
+            Check("orderkey_not_null", "not_null", "l_orderkey", priority=1),
+            Check("qty_range", "in_range", "l_quantity", {"min": 1, "max": 50}, priority=2),
+            Check("discount_range", "in_range", "l_discount", {"min": 0.0, "max": 0.1}, priority=3),
+            Check("returnflag_domain", "isin", "l_returnflag", {"values": ["A", "N", "R"]}, priority=4),
+            Check("price_positive", "min", "l_extendedprice", {"value": 0.0}, priority=5),
+        ],
+    )
+    runner = SuiteRunner(suite)
+    # the runner's violation path keys on clip_id — alias the row id
+    res = runner.run(df.withColumn("clip_id", df["l_orderkey"]), payload=False)
+    return res.verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

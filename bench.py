@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+Headline metric: full constraint-suite throughput over a deterministic
+synthetic clips table (clips validated/sec — BASELINE.json), plus per-query
+wall times for the relational operator surface at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/bench_scaling.py → BENCH/BASELINE.md; this script is the per-round
+single-config run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "20000"))
+
+BENCH_QUERIES = [
+    "group_stats", "percentiles", "threshold_sweep", "duplicate_keys",
+    "semi_join", "freq_enrich", "argmax_per_group", "topn_per_group",
+    "lag_neighbor", "drift_psi",
+]
+
+
+def run_suite(spark, clips_dir: str) -> tuple[float, int]:
+    from pyspark.sql import functions as F
+
+    from doc_quality_check_spark.sources.clips import (
+        load_baseline, load_catalog, load_clips,
+    )
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import default_suite
+
+    clips = load_clips(spark, clips_dir)
+    n = clips.count()
+    t0 = time.perf_counter()
+    res = SuiteRunner(default_suite()).run(
+        clips,
+        catalog=load_catalog(spark, clips_dir),
+        baseline=load_baseline(spark, clips_dir),
+    )
+    # materialize every result table (violations, verdicts, summary)
+    res.violations.agg(F.count(F.lit(1))).collect()
+    res.verdicts.collect()
+    res.summary.collect()
+    dt = time.perf_counter() - t0
+    res.unpersist()
+    return dt, n
+
+
+def main() -> None:
+    from doc_quality_check_spark.queries import QUERIES
+    from doc_quality_check_spark.session import get_spark
+    from doc_quality_check_spark.sources.clips import generate_clips
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    clips_dir = generate_clips(os.path.join(repo, ".data", "clips_bench"), n_rows=N_CLIPS, seed=42)
+
+    spark = get_spark("dqcs-bench", cores=CPUS, shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/Python workers once
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    suite_sec, n_clips = run_suite(spark, clips_dir)
+    clips_per_sec = n_clips / suite_sec
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    total = suite_sec + sum(qtimes.values())
+    out = {
+        "metric": "clips validated/sec (full constraint suite) + relational query wall times",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"constraint_suite": round(suite_sec, 3), **qtimes},
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "clips_per_sec": round(clips_per_sec, 1),
+        "n_clips": n_clips,
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

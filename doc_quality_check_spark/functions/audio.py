@@ -1,0 +1,270 @@
+"""Audio payload metrics as vectorized pandas/Arrow UDFs.
+
+Reference parity — the per-payload scalar metric family:
+- ink ratio (payload density): grayscale→Otsu→nonzero fraction,
+  /root/reference/checks/clarity_check.py:11-38. Audio analog here:
+  **non-silence energy ratio** — fraction of PCM samples whose |amplitude|
+  exceeds an adaptive threshold.
+- OCR confidence ('fast' mode): /root/reference/checks/confidence_check.py:178-261.
+  Audio analog: **decode-validity confidence** in [0,100] — 0 when the payload
+  fails to parse, otherwise scaled by signal presence (so silent clips score
+  ~0 exactly like blank pages score 0.0 OCR confidence,
+  docs/THRESHOLD_ANALYSIS_REPORT.md:70-94).
+- per-page decode with in-band error rows: /root/reference/
+  utils/document_processor.py:92-207 (extract_page_data) and
+  test_readability.py:262-271 — a failed decode yields a verdict row carrying
+  an error string, never a dropped row or a job failure. The decode UDF
+  mirrors that: errors → struct with ok=false + error message.
+- empty-input default row: document_processor.py:126-134 — zero-byte/None
+  payload still produces metrics (all-zero), not an exception.
+
+Everything is Arrow-batched (pandas_udf): Python touches data once per batch,
+and per-row work is numpy-vectorized over the sample arrays — no per-row
+Python object churn in the hot path (north rule).
+
+Synthesis (`synth_clip_bytes`) exists for deterministic fixtures only
+(FIXTURES.md §1): RIFF/WAV PCM16 + PCM-U8 are real encodings; 'flac' is a
+deliberately fake-but-deterministic container (magic b'fLaC' + raw PCM16)
+because no FLAC codec library is available in this environment — the decode
+*plumbing* (codec dispatch, header consistency, error rows) is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesis (fixtures only)
+# ---------------------------------------------------------------------------
+
+_FAKE_FLAC_MAGIC = b"fLaC"
+
+
+def synth_pcm(seed: int, sr_hz: int, dur_ms: int, silent: bool = False) -> np.ndarray:
+    """Deterministic float32 PCM in [-1, 1]: a 3-sine mixture seeded per clip."""
+    n = max(1, int(sr_hz * dur_ms / 1000))
+    if silent:
+        return np.zeros(n, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    freqs = rng.integers(80, min(4000, sr_hz // 2 - 1), size=3)
+    amps = rng.uniform(0.15, 0.3, size=3)
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    x = np.zeros(n, dtype=np.float64)
+    for f, a in zip(freqs, amps):
+        x += a * np.sin(2 * np.pi * float(f) * t)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
+def encode_wav_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
+    data = (np.clip(pcm, -1, 1) * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def encode_wav_pcmu8(pcm: np.ndarray, sr_hz: int) -> bytes:
+    data = ((np.clip(pcm, -1, 1) * 127.0) + 128.0).astype(np.uint8).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sr_hz, sr_hz, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def encode_fake_flac(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Deterministic FAKE container (no real FLAC lib in this environment).
+
+    Layout: b'fLaC' | uint32 sr | uint32 n_samples | raw little-endian int16.
+    """
+    data = (np.clip(pcm, -1, 1) * 32767.0).astype("<i2").tobytes()
+    return _FAKE_FLAC_MAGIC + struct.pack("<II", sr_hz, len(data) // 2) + data
+
+
+def synth_clip_bytes(
+    seed: int,
+    sr_hz: int,
+    dur_ms: int,
+    codec: str,
+    silent: bool = False,
+    corrupt: bool = False,
+    header_sr_override: int | None = None,
+) -> bytes:
+    """Render one clip payload. ``header_sr_override`` injects sr-consistency
+    violations (header sr != column sr); ``corrupt`` truncates + scrambles."""
+    pcm = synth_pcm(seed, sr_hz, dur_ms, silent=silent)
+    enc_sr = header_sr_override or sr_hz
+    if codec == "pcm_u8":
+        raw = encode_wav_pcmu8(pcm, enc_sr)
+    elif codec == "flac":
+        raw = encode_fake_flac(pcm, enc_sr)
+    else:  # pcm_s16le and any unknown label default to WAV16
+        raw = encode_wav_pcm16(pcm, enc_sr)
+    if corrupt:
+        raw = b"XXXX" + raw[4 : max(8, len(raw) // 2)]
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Decode (the real engine path)
+# ---------------------------------------------------------------------------
+
+
+def _parse_wav(buf: bytes):
+    """Minimal chunk-walking RIFF/WAV parser → (sr, float32 pcm). Raises on
+    malformed input (caught by the UDF → in-band error row)."""
+    if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, sr, bits, channels, data = 12, None, None, 1, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            _, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if sr is None or data is None or not bits:
+        raise ValueError("missing fmt/data chunk")
+    if bits == 16:
+        pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float32) / 32767.0
+    elif bits == 8:
+        pcm = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if channels and channels > 1:
+        pcm = pcm[: len(pcm) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return int(sr), pcm
+
+
+def _parse_fake_flac(buf: bytes):
+    if len(buf) < 12 or buf[0:4] != _FAKE_FLAC_MAGIC:
+        raise ValueError("not a fLaC stream")
+    sr, n = struct.unpack_from("<II", buf, 4)
+    data = buf[12 : 12 + 2 * n]
+    if len(data) < 2 * n:
+        raise ValueError("truncated fLaC payload")
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    return int(sr), pcm
+
+
+def decode_payload(buf, codec: str):
+    """bytes → (sr, pcm). Dispatches on codec label with container sniffing
+    as fallback (the reference's mode-dispatcher analog,
+    confidence_check.py:421-455)."""
+    if buf is None or len(buf) == 0:
+        # empty-input default row semantics (document_processor.py:126-134)
+        return 0, np.zeros(0, dtype=np.float32)
+    b = bytes(buf)
+    if codec == "flac" or b[:4] == _FAKE_FLAC_MAGIC:
+        return _parse_fake_flac(b)
+    return _parse_wav(b)
+
+
+def energy_ratio(pcm: np.ndarray) -> float:
+    """Non-silence energy ratio ∈ [0,1] — the ink-ratio analog
+    (clarity_check.py:11-38: Otsu-binarized nonzero fraction). Adaptive
+    amplitude threshold stands in for Otsu."""
+    if pcm.size == 0:
+        return 0.0
+    peak = float(np.max(np.abs(pcm)))
+    thr = max(0.005, 0.1 * peak)
+    return float(np.count_nonzero(np.abs(pcm) > thr)) / pcm.size
+
+
+def decode_confidence(ok: bool, pcm: np.ndarray) -> float:
+    """Decode-validity confidence ∈ [0,100] — OCR-confidence analog
+    (confidence_check.py:178-261). Parse failure → 0 (like blank → 0.0)."""
+    if not ok or pcm.size == 0:
+        return 0.0
+    er = energy_ratio(pcm)
+    rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+    return float(min(100.0, 100.0 * min(1.0, 2.0 * er) * min(1.0, 10.0 * rms)))
+
+
+AUDIO_METRICS_SCHEMA = StructType(
+    [
+        StructField("decode_ok", BooleanType()),
+        StructField("header_sr", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("energy_ratio", DoubleType()),
+        StructField("decode_conf", DoubleType()),
+        StructField("decoded_dur_ms", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
+    out = {k.name: [] for k in AUDIO_METRICS_SCHEMA.fields}
+    for buf, codec in zip(payloads, codecs):
+        try:
+            sr, pcm = decode_payload(buf, codec or "")
+            ok = True
+            err = None
+        except Exception as exc:  # in-band error row (test_readability.py:262-271)
+            sr, pcm, ok, err = 0, np.zeros(0, dtype=np.float32), False, str(exc)
+        er = energy_ratio(pcm)
+        out["decode_ok"].append(ok)
+        out["header_sr"].append(sr)
+        out["n_samples"].append(int(pcm.size))
+        out["energy_ratio"].append(er)
+        out["decode_conf"].append(decode_confidence(ok, pcm))
+        out["decoded_dur_ms"].append(1000.0 * pcm.size / sr if sr else 0.0)
+        out["error"].append(err)
+    return pd.DataFrame(out)
+
+
+@F.pandas_udf(AUDIO_METRICS_SCHEMA)
+def audio_metrics_udf(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
+    """Arrow-batched: (bytes, codec) → metrics struct. The single payload pass;
+    every payload check reads from this struct so the binary column is decoded
+    exactly once (the reference's 'avoids double analysis' discipline,
+    test_readability.py:211-213 — which its own app fails at, app.py:336-345)."""
+    return _metrics_for_batch(payloads, codecs)
+
+
+@F.pandas_udf(ArrayType(FloatType()))
+def decode_pcm_udf(payloads: pd.Series, codecs: pd.Series) -> pd.Series:
+    """Full decoded PCM as array<float> — test/invariant path only (per-row
+    decoded-PCM allclose at SNR>=30dB), never used in the throughput path."""
+    res = []
+    for buf, codec in zip(payloads, codecs):
+        try:
+            _, pcm = decode_payload(buf, codec or "")
+            res.append(pcm.astype(np.float32))
+        except Exception:
+            res.append(np.zeros(0, dtype=np.float32))
+    return pd.Series(res)
+
+
+def with_audio_metrics(df, payload_col: str = "bytes", codec_col: str = "codec"):
+    """Attach the metrics struct + flattened metric columns, dropping the
+    payload column afterwards so downstream stages never shuffle binary data
+    (SURVEY.md §7 'never wide-shuffle the bytes column')."""
+    m = audio_metrics_udf(F.col(payload_col), F.col(codec_col))
+    df = df.withColumn("_m", m)
+    for f in AUDIO_METRICS_SCHEMA.fields:
+        df = df.withColumn(f.name, F.col(f"_m.{f.name}"))
+    return df.drop("_m", payload_col)

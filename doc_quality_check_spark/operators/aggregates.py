@@ -1,0 +1,102 @@
+"""Aggregation operators: summaries, grouped stats, sketches, threshold
+sweeps, distribution drift (SURVEY.md §2.5).
+
+Reference parity:
+- A1 global summary (/root/reference/test_readability.py:299-306,1008-1012;
+  app.py:406-414): count / conditional counts / mean confidence / distinct.
+- A2 per-group stats (test_readability.py:620-626,818-823).
+- A4 per-category min/max/avg + pass-rate (tests/analyze_thresholds.py:79-89,
+  149-172).
+- A5 percentile distribution (tests/analyze_thresholds.py:99-113) → Spark's
+  built-in approx-quantile sketch ``percentile_approx`` (t-digest-style);
+  exact ``percentile`` used when matching a SQL oracle.
+- A6 threshold sweep (tests/analyze_thresholds.py:120-142) — done in ONE scan
+  with conditional sums, not one pass per threshold.
+- A10 distinct counting (test_readability.py:153,306,1012) →
+  ``approx_count_distinct`` (HyperLogLog) at scale, exact at test scale.
+- A12 distribution drift (north rule; reference analog: old-vs-new threshold
+  comparison tables, docs/THRESHOLD_ANALYSIS_REPORT.md:53-105): PSI + KS of
+  current histograms against a baseline snapshot table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def completeness(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Non-null ratio per column, one scan (never reads unrelated columns)."""
+    aggs = [
+        F.try_divide(F.count(c), F.count(F.lit(1))).alias(f"completeness_{c}")
+        for c in columns
+    ]
+    return df.agg(*aggs)
+
+
+def column_profile(df: DataFrame, column: str, approx: bool = True) -> DataFrame:
+    """min/max/avg/distinct/quantiles for one numeric column in one scan."""
+    c = F.col(column)
+    distinct = (
+        F.approx_count_distinct(column) if approx else F.countDistinct(column)
+    ).alias("n_distinct")
+    quant_fn = "percentile_approx" if approx else "percentile"
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(column).alias("n_nonnull"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+        F.avg(c).alias("avg_val"),
+        distinct,
+        F.expr(f"{quant_fn}({column}, array(0.1, 0.25, 0.5, 0.75, 0.9))").alias("quantiles"),
+    )
+
+
+def threshold_sweep(df: DataFrame, column: str, thresholds: list[float]) -> DataFrame:
+    """Pass-count at every threshold in a single scan (conditional sums)."""
+    aggs = [
+        F.sum(F.when(F.col(column) >= F.lit(t), 1).otherwise(0)).alias(f"ge_{str(t).replace('.', '_')}")
+        for t in thresholds
+    ]
+    return df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+
+
+def histogram(df: DataFrame, column: str, as_string: bool = True) -> DataFrame:
+    """Categorical histogram → (bucket, count)."""
+    b = F.col(column).cast("string") if as_string else F.col(column)
+    return df.groupBy(b.alias("bucket")).agg(F.count("*").alias("count"))
+
+
+def drift_psi(
+    current_hist: DataFrame, baseline_hist: DataFrame, epsilon: float = 1e-6
+) -> DataFrame:
+    """Population Stability Index between two (bucket, count) histograms.
+
+    Full-outer join on bucket (missing mass → epsilon), PSI = Σ (p-q)·ln(p/q).
+    Both inputs are tiny aggregates — executed as a broadcast join.
+    """
+    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
+    joined = cur.join(base, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+    tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
+    j = joined.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.try_divide(F.col("c_cnt"), F.col("ct")), F.lit(epsilon))
+    q = F.greatest(F.try_divide(F.col("b_cnt"), F.col("bt")), F.lit(epsilon))
+    return j.agg(F.sum((p - q) * F.log(p / q)).alias("psi"))
+
+
+def drift_ks(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """Kolmogorov–Smirnov statistic over ordered numeric buckets: max |CDF
+    difference|, via a cumulative-sum window on the (tiny) joined histogram."""
+    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
+    joined = (
+        cur.join(base, "bucket", "full_outer")
+        .fillna(0, ["c_cnt", "b_cnt"])
+        .withColumn("bucket_num", F.col("bucket").cast("double"))
+    )
+    w = Window.orderBy("bucket_num").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
+    j = joined.crossJoin(F.broadcast(tot))
+    cdf_c = F.try_divide(F.sum("c_cnt").over(w), F.col("ct"))
+    cdf_b = F.try_divide(F.sum("b_cnt").over(w), F.col("bt"))
+    return j.select(F.abs(cdf_c - cdf_b).alias("d")).agg(F.max("d").alias("ks"))

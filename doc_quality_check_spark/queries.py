@@ -1,0 +1,459 @@
+"""Driver-contract query surface: each SURVEY.md §2 operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a matching ANSI-SQL oracle that
+DuckDB runs over the same parquet (CORRECTNESS gate).
+
+Conventions required by the driver's compare (row-count + schema +
+order-insensitive value hash):
+- every computed column aliased IDENTICALLY in Spark and SQL;
+- floating aggregates rounded (4dp) on BOTH sides so ulp-level accumulation
+  order differences can't flip the hash;
+- deterministic tie-breaks on every ranking/window.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from doc_quality_check_spark.operators.aggregates import drift_ks, drift_psi
+from doc_quality_check_spark.operators.joins import (
+    duplicate_keys,
+    frequency_enrich,
+    referential_violations,
+    semi_join_members,
+)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# P1-P4 verdict projection (first-failure-wins reason chain, app.py:369-380)
+# ---------------------------------------------------------------------------
+
+def q_verdict_projection(spark, sf):
+    ev = t(spark, sf, "events")
+    is_error = F.col("event_type") == "error"
+    is_low = F.col("value") < 5.0
+    reason = (
+        F.when(is_error, F.lit("error_event"))
+        .when(is_low, F.lit("low_value"))
+        .otherwise(F.lit("OK"))
+    )
+    return ev.select(
+        "event_id",
+        reason.alias("reason"),
+        F.when(reason == "OK", F.lit("Valid")).otherwise(F.lit("Invalid")).alias("status"),
+    )
+
+
+SQL_VERDICT = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'error_event'
+            WHEN value < 5.0 THEN 'low_value'
+            ELSE 'OK' END AS reason,
+       CASE WHEN event_type <> 'error' AND value >= 5.0 THEN 'Valid'
+            ELSE 'Invalid' END AS status
+FROM events
+"""
+
+
+# P6 violation rows (one pass, array_compact + explode)
+def q_violation_rows(spark, sf):
+    ev = t(spark, sf, "events")
+    checks = [
+        ("error_event", F.col("event_type") == "error"),
+        ("low_value", F.col("value") < 5.0),
+        ("null_props", F.col("props").isNull()),
+    ]
+    arr = F.array_compact(F.array(*[F.when(c, F.lit(cid)) for cid, c in checks]))
+    return (
+        ev.select("event_id", arr.alias("_f"))
+        .filter(F.size("_f") > 0)
+        .select("event_id", F.explode("_f").alias("constraint_id"))
+    )
+
+
+SQL_VIOLATIONS = """
+SELECT event_id, 'error_event' AS constraint_id FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, 'low_value' FROM events WHERE value < 5.0
+UNION ALL
+SELECT event_id, 'null_props' FROM events WHERE props IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 global summary
+# ---------------------------------------------------------------------------
+
+def q_global_summary(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+SQL_GLOBAL_SUMMARY = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+"""
+
+
+# A2 grouped stats (TPC-H Q1 shape)
+def q_group_stats(spark, sf):
+    li = t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+
+
+SQL_GROUP_STATS = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# A3 rollup (multi-level grouping {folder:{file:[rows]}} analog)
+def q_rollup_stats(spark, sf):
+    o = t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# A4 per-category stats + pass-rate at threshold (analyze_thresholds.py:79-89)
+def q_category_stats(spark, sf):
+    ev = t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.avg(F.when(F.col("value") >= 10.0, 1.0).otherwise(0.0)), 4).alias("pass_rate"),
+    )
+
+
+SQL_CATEGORY_STATS = """
+SELECT event_type,
+       count(*) AS n_rows,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(avg(value), 4) AS avg_value,
+       round(avg(CASE WHEN value >= 10.0 THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+FROM events
+GROUP BY event_type
+"""
+
+
+# A5 exact percentile distribution (analyze_thresholds.py:99-113)
+def q_percentiles(spark, sf):
+    li = t(spark, sf, "lineitem")
+    qs = {"p10": 0.1, "p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+    return li.agg(*[
+        F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(name)
+        for name, p in qs.items()
+    ])
+
+
+SQL_PERCENTILES = """
+SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem
+"""
+
+
+# A6 threshold sweep — ONE scan, conditional sums
+def q_threshold_sweep(spark, sf):
+    ev = t(spark, sf, "events")
+    ts = [5, 10, 15, 20, 30, 50]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(F.when(F.col("value") >= F.lit(float(x)), 1).otherwise(0)).alias(f"ge_{x}") for x in ts],
+    )
+
+
+SQL_SWEEP = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) AS ge_5,
+       sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS ge_10,
+       sum(CASE WHEN value >= 15.0 THEN 1 ELSE 0 END) AS ge_15,
+       sum(CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) AS ge_20,
+       sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END) AS ge_30,
+       sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS ge_50
+FROM events
+"""
+
+
+# A11 uniqueness / duplicate keys
+def q_duplicate_keys(spark, sf):
+    o = t(spark, sf, "orders")
+    return duplicate_keys(o, "o_custkey").withColumnRenamed("o_custkey", "key")
+
+
+SQL_DUP_KEYS = """
+SELECT o_custkey AS key, count(*) AS cnt
+FROM orders GROUP BY o_custkey HAVING count(*) > 1
+"""
+
+
+# J4 referential-integrity anti-join
+def q_referential_anti(spark, sf):
+    c = t(spark, sf, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf, "orders")
+    return referential_violations(c, o, "c_custkey", "o_custkey")
+
+
+SQL_REF_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+# J1 left-semi membership
+def q_semi_join(spark, sf):
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    bld = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return semi_join_members(o, bld, "o_custkey")
+
+
+SQL_SEMI = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+# J2 frequency aggregate + broadcast-back enrichment
+def q_freq_enrich(spark, sf):
+    ev = t(spark, sf, "events").select("event_id", "user_id")
+    return frequency_enrich(ev, "user_id", "user_events").select(
+        "event_id", "user_id", "user_events"
+    )
+
+
+SQL_FREQ_ENRICH = """
+SELECT e.event_id, e.user_id, f.user_events
+FROM events e
+JOIN (SELECT user_id, count(*) AS user_events FROM events GROUP BY user_id) f
+USING (user_id)
+"""
+
+
+# A8 argmax per group (best detection per page, app.py:461-488)
+def q_argmax_per_group(spark, sf):
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", F.round("value", 4).alias("best_value"))
+    )
+
+
+SQL_ARGMAX = """
+SELECT event_type, event_id, round(value, 4) AS best_value
+FROM (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+      FROM events) x
+WHERE rn = 1
+"""
+
+
+# P9/W4 top-N per group
+def q_topn_per_group(spark, sf):
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn")
+    )
+
+
+SQL_TOPN = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) x
+WHERE rn <= 3
+"""
+
+
+# W2 lag/lead neighbor computation (overlap-fix analog)
+def q_lag_neighbor(spark, sf):
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+    )
+
+
+SQL_LAG = """
+SELECT event_id, user_id,
+       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC), 4) AS delta_prev
+FROM events
+"""
+
+
+# U1/U2/U3 set ops: union + dedupe
+def q_union_dedupe(spark, sf):
+    ev = t(spark, sf, "events")
+    a = ev.filter(F.col("value") >= 50).select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).dropDuplicates(["user_id"])
+
+
+SQL_UNION_DEDUPE = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE value >= 50
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+# A12 drift: PSI between two cohort histograms (engine operator reused)
+def _value_hist(ev, etype):
+    return (
+        ev.filter(F.col("event_type") == etype)
+        .groupBy(F.floor(F.col("value") / 10).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def q_drift_psi(spark, sf):
+    ev = t(spark, sf, "events")
+    return drift_psi(_value_hist(ev, "click"), _value_hist(ev, "view")).select(
+        F.round("psi", 4).alias("psi")
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH cur AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1),
+base AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1),
+j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
+tot AS (SELECT sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM j)
+SELECT round(sum((p - q) * ln(p / q)), 4) AS psi
+FROM (SELECT greatest(c_cnt / ct, 1e-6) AS p, greatest(b_cnt / bt, 1e-6) AS q
+      FROM j, tot) z
+"""
+
+
+def q_drift_ks(spark, sf):
+    ev = t(spark, sf, "events")
+    return drift_ks(_value_hist(ev, "click"), _value_hist(ev, "view")).select(
+        F.round("ks", 4).alias("ks")
+    )
+
+
+SQL_DRIFT_KS = """
+WITH cur AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1),
+base AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1),
+j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
+tot AS (SELECT sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM j),
+cdf AS (SELECT sum(c_cnt) OVER (ORDER BY bucket) * 1.0 / ct AS cc,
+               sum(b_cnt) OVER (ORDER BY bucket) * 1.0 / bt AS cb
+        FROM j, tot)
+SELECT round(max(abs(cc - cb)), 4) AS ks FROM cdf
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "verdict_projection": q_verdict_projection,
+    "violation_rows": q_violation_rows,
+    "global_summary": q_global_summary,
+    "group_stats": q_group_stats,
+    "rollup_stats": q_rollup_stats,
+    "category_stats": q_category_stats,
+    "percentiles": q_percentiles,
+    "threshold_sweep": q_threshold_sweep,
+    "duplicate_keys": q_duplicate_keys,
+    "referential_anti": q_referential_anti,
+    "semi_join": q_semi_join,
+    "freq_enrich": q_freq_enrich,
+    "argmax_per_group": q_argmax_per_group,
+    "topn_per_group": q_topn_per_group,
+    "lag_neighbor": q_lag_neighbor,
+    "union_dedupe": q_union_dedupe,
+    "drift_psi": q_drift_psi,
+    "drift_ks": q_drift_ks,
+}
+
+ORACLES: dict[str, str] = {
+    "verdict_projection": SQL_VERDICT,
+    "violation_rows": SQL_VIOLATIONS,
+    "global_summary": SQL_GLOBAL_SUMMARY,
+    "group_stats": SQL_GROUP_STATS,
+    "rollup_stats": SQL_ROLLUP,
+    "category_stats": SQL_CATEGORY_STATS,
+    "percentiles": SQL_PERCENTILES,
+    "threshold_sweep": SQL_SWEEP,
+    "duplicate_keys": SQL_DUP_KEYS,
+    "referential_anti": SQL_REF_ANTI,
+    "semi_join": SQL_SEMI,
+    "freq_enrich": SQL_FREQ_ENRICH,
+    "argmax_per_group": SQL_ARGMAX,
+    "topn_per_group": SQL_TOPN,
+    "lag_neighbor": SQL_LAG,
+    "union_dedupe": SQL_UNION_DEDUPE,
+    "drift_psi": SQL_DRIFT_PSI,
+    "drift_ks": SQL_DRIFT_KS,
+}

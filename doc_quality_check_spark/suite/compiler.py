@@ -1,0 +1,126 @@
+"""Compile declarative :class:`Check` objects into Spark ``Column`` predicates.
+
+This is the engine's expression layer — the analog of the reference's
+threshold predicates and verdict construction:
+- emptiness predicate ``ink_ratio_pct < 0.5`` (/root/reference/
+  test_readability.py:218-221, app.py:355-356)
+- readability predicate ``ocr_conf >= 15`` (test_readability.py:216)
+- first-failure-wins reason chain Empty → Low readability → OK
+  (app.py:369-380)
+
+All predicates are pure Catalyst expressions (whole-stage codegen); payload
+checks read the pre-computed metric columns from
+:func:`doc_quality_check_spark.functions.audio.with_audio_metrics` so the
+binary column is decoded exactly once.
+
+Null/gating semantics (documented, deliberate):
+- domain/range/regex checks PASS on null input — nullness is flagged only by
+  the dedicated ``not_null`` check (no double counting).
+- payload consistency checks PASS when the payload didn't decode — a failed
+  decode is flagged only by ``payload_decode`` (the reference's in-band error
+  row has exactly one reason, test_readability.py:262-271).
+- duration consistency additionally requires a *trusted* sample rate
+  (header_sr == sr_hz); decoded duration is meaningless under an sr mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.suite.spec import Check
+
+PASS_PREFIX = "passed__"
+
+
+def _null_passes(pred: Column) -> Column:
+    return F.coalesce(pred, F.lit(True))
+
+
+def compile_check(check: Check) -> Column:
+    """Lower one row-level check to a boolean Column (True = pass)."""
+    p = check.params
+    col = F.col(check.column) if check.column else None
+    kind = check.kind
+
+    if kind == "not_null":
+        pred = col.isNotNull()
+        if p.get("treat_empty_as_null"):
+            pred = pred & (F.trim(col) != F.lit(""))
+        return F.coalesce(pred, F.lit(False))
+    if kind == "min":
+        return _null_passes(col >= F.lit(p["value"]))
+    if kind == "max":
+        return _null_passes(col <= F.lit(p["value"]))
+    if kind == "in_range":
+        return _null_passes((col >= F.lit(p["min"])) & (col <= F.lit(p["max"])))
+    if kind == "isin":
+        return _null_passes(col.isin(*p["values"]))
+    if kind == "regex_match":
+        return _null_passes(col.rlike(p["pattern"]))
+    if kind == "regex_not_match":
+        return _null_passes(~col.rlike(p["pattern"]))
+    if kind == "expr":
+        return F.expr(p["expr"])
+    if kind == "payload_energy":
+        # emptiness analog: ink_ratio*100 < threshold → empty
+        # (test_readability.py:218-221); gated on decode success
+        thr = float(p.get("threshold_pct", 0.5))
+        return ~F.col("decode_ok") | (F.col("energy_ratio") * 100.0 >= F.lit(thr))
+    if kind == "payload_decode":
+        # readability analog: conf >= 15 (test_readability.py:216)
+        thr = float(p.get("threshold", 15.0))
+        return F.col("decode_conf") >= F.lit(thr)
+    if kind == "payload_sr_consistency":
+        return (
+            ~F.col("decode_ok")
+            | (F.col("sr_hz") <= F.lit(0))
+            | (F.col("header_sr") == F.col("sr_hz"))
+        )
+    if kind == "payload_dur_consistency":
+        tol = float(p.get("tolerance_ms", 50))
+        return (
+            ~F.col("decode_ok")
+            | (F.col("dur_ms") <= F.lit(0))
+            | (F.col("header_sr") != F.col("sr_hz"))
+            | (F.abs(F.col("decoded_dur_ms") - F.col("dur_ms")) <= F.lit(tol))
+        )
+    if kind == "transcript_match":
+        other = p.get("canonical_column", "canonical_transcript")
+        return _null_passes(F.col(other).isNull() | (col == F.col(other)))
+    raise ValueError(f"not a row-level check kind: {kind}")
+
+
+def with_row_checks(df, checks: list[Check]):
+    """Attach one boolean ``passed__<constraint_id>`` column per check, a
+    first-failure-wins ``reason`` column (priority order, app.py:369-380) and
+    a ``status`` column (Valid/Invalid — app.py:390)."""
+    row_checks = [c for c in checks if c.is_row_level]
+    for c in row_checks:
+        df = df.withColumn(PASS_PREFIX + c.constraint_id, compile_check(c))
+    reason = F.lit("OK")
+    for c in sorted(row_checks, key=lambda c: c.priority, reverse=True):
+        reason = F.when(~F.col(PASS_PREFIX + c.constraint_id), F.lit(c.constraint_id)).otherwise(reason)
+    df = df.withColumn("reason", reason)
+    return df.withColumn(
+        "status", F.when(F.col("reason") == "OK", F.lit("Valid")).otherwise(F.lit("Invalid"))
+    )
+
+
+def row_violations(df, checks: list[Check], id_col: str = "clip_id"):
+    """All (clip_id, constraint_id) failures in ONE pass: build an array of
+    failed constraint ids per row, drop passing rows cheaply, then explode —
+    the analog of the UNREADABLE/EMPTY PAGES listings
+    (test_readability.py:856-879) generalized to every constraint."""
+    row_checks = [c for c in checks if c.is_row_level]
+    arr = F.array_compact(
+        F.array(*[
+            F.when(~F.col(PASS_PREFIX + c.constraint_id), F.lit(c.constraint_id))
+            for c in row_checks
+        ])
+    )
+    return (
+        df.select(F.col(id_col).alias("clip_id"), arr.alias("_failed"))
+        .filter(F.size("_failed") > 0)
+        .select("clip_id", F.explode("_failed").alias("constraint_id"))
+    )

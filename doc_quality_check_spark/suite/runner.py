@@ -1,0 +1,227 @@
+"""Suite runner — the engine's execution spine.
+
+Physical plan (the Spark translation of the reference's CLI lifecycle,
+/root/reference/test_readability.py:887-1044, SURVEY.md §3.1): the per-file
+``for`` loop disappears — the table is the loop.
+
+  clips ── with_audio_metrics (one pandas-UDF pass, bytes column dropped)
+        ── with_row_checks (pure Catalyst predicates + reason/status)
+        ── persist  (decode-once cache: the reference's session_state reuse,
+                     app.py:317-320; verdicts re-project cheaply)
+        ├─ row violations        (filter + explode, one pass)
+        ├─ per-partition verdicts (single groupBy(part_key) w/ conditional
+        │                          sums, unpivoted to long form)
+        ├─ table-level checks    (uniqueness / referential / completeness /
+        │                         drift — each its own small aggregate)
+        └─ global summary        (one agg)
+
+Shuffles: exactly one for the partition verdicts, one per table-level
+aggregate/join — nothing shuffles the binary payload (dropped before any
+wide operation).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from doc_quality_check_spark.functions.audio import with_audio_metrics
+from doc_quality_check_spark.operators.aggregates import drift_ks, drift_psi, histogram
+from doc_quality_check_spark.operators.joins import duplicate_keys, referential_violations
+from doc_quality_check_spark.suite.compiler import PASS_PREFIX, row_violations, with_row_checks
+from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+GLOBAL_PART = "__global__"
+
+VERDICT_COLS = ["part_key", "constraint_id", "n_rows", "n_violations", "passed", "metric_value"]
+
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("part_key", StringType()),
+        StructField("constraint_id", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_violations", LongType()),
+        StructField("passed", BooleanType()),
+        StructField("metric_value", DoubleType()),
+    ]
+)
+
+
+@dataclass
+class RunResult:
+    """All result tables of one suite run (lazy DataFrames)."""
+
+    checked: DataFrame            # row-level: clips + metrics + passed__* + reason/status
+    violations: DataFrame         # (clip_id, constraint_id)
+    verdicts: DataFrame           # per-partition + global verdicts (VERDICT_COLS)
+    summary: DataFrame            # one-row global summary
+    table_metrics: dict[str, float] = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        self.checked.unpersist()
+
+
+class SuiteRunner:
+    def __init__(self, suite: CheckSuite):
+        self.suite = suite
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        clips: DataFrame,
+        catalog: DataFrame | None = None,
+        baseline: DataFrame | None = None,
+        payload: bool = True,
+        completed_partitions: list[str] | None = None,
+    ) -> RunResult:
+        """Execute the suite. ``completed_partitions`` (from a prior run's
+        manifest) are skipped — the resume anti-join is a partition-pruned
+        filter because ``part_key`` is the table's partition column."""
+        suite = self.suite
+        part_cols = suite.partition_by
+        if completed_partitions and part_cols:
+            clips = clips.filter(~F.col(part_cols[0]).isin(completed_partitions))
+
+        row_checks = suite.row_checks()
+        needs_payload = payload and any(c.kind.startswith("payload_") for c in row_checks)
+        df = clips
+        if needs_payload:
+            df = with_audio_metrics(df)
+        else:
+            row_checks = [c for c in row_checks if not c.kind.startswith("payload_")]
+            df = df.drop("bytes")
+        df = with_row_checks(df, row_checks).persist()
+
+        id_col = "clip_id"
+        viols = row_violations(df, row_checks, id_col=id_col)
+        verdicts = self._partition_verdicts(df, row_checks, part_cols)
+
+        table_verdict_rows: list[tuple] = []
+        for check in suite.table_checks():
+            v, extra_viols = self._run_table_check(df, check, catalog, baseline)
+            table_verdict_rows.append(v)
+            if extra_viols is not None:
+                viols = viols.unionByName(extra_viols)
+
+        if table_verdict_rows:
+            spark = df.sparkSession
+            tv = spark.createDataFrame(table_verdict_rows, VERDICT_SCHEMA)
+            verdicts = verdicts.unionByName(tv)
+
+        summary = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("status") == "Valid", 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("status") == "Invalid", 1).otherwise(0)).alias("n_invalid"),
+            *(
+                [F.avg("decode_conf").alias("avg_decode_conf"),
+                 F.avg("energy_ratio").alias("avg_energy_ratio")]
+                if needs_payload else []
+            ),
+            F.approx_count_distinct(id_col).alias("n_distinct_ids"),
+        )
+        return RunResult(checked=df, violations=viols, verdicts=verdicts, summary=summary)
+
+    # ------------------------------------------------------------------
+    def _partition_verdicts(self, df, row_checks: list[Check], part_cols: list[str]):
+        """ONE groupBy produces every (partition × constraint) verdict:
+        conditional sums per check, then stack() to long form — partial
+        aggregation map-side, a single shuffle total."""
+        part = F.col(part_cols[0]) if part_cols else F.lit(GLOBAL_PART)
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(~F.col(PASS_PREFIX + c.constraint_id), 1).otherwise(0))
+            .alias("nv__" + c.constraint_id)
+            for c in row_checks
+        ]
+        wide = df.groupBy(part.alias("part_key")).agg(*aggs)
+        stack_args = ", ".join(
+            f"'{c.constraint_id}', nv__{c.constraint_id}" for c in row_checks
+        )
+        long = wide.selectExpr(
+            "part_key",
+            "n_rows",
+            f"stack({len(row_checks)}, {stack_args}) as (constraint_id, n_violations)",
+        )
+        return long.select(
+            "part_key",
+            "constraint_id",
+            F.col("n_rows").cast("long"),
+            F.col("n_violations").cast("long"),
+            (F.col("n_violations") == 0).alias("passed"),
+            F.try_divide(F.col("n_violations"), F.col("n_rows")).cast("double").alias("metric_value"),
+        )
+
+    # ------------------------------------------------------------------
+    def _run_table_check(self, df, check: Check, catalog, baseline):
+        """Evaluate one table-level check eagerly (each is a tiny aggregate).
+        Returns (verdict_row, extra_violations_df|None)."""
+        cid, p = check.constraint_id, check.params
+        n_rows = None
+        extra = None
+        if check.kind == "unique":
+            dups = duplicate_keys(df, check.column, int(p.get("salt_buckets", 0))).persist()
+            n_bad_keys = dups.count()
+            extra = dups.select(F.col(check.column).alias("clip_id"), F.lit(cid).alias("constraint_id"))
+            metric = float(n_bad_keys)
+            passed = n_bad_keys == 0
+            n_viol = n_bad_keys
+        elif check.kind == "referential":
+            if catalog is None:
+                raise ValueError(f"check {cid} needs a reference catalog DataFrame")
+            missing = referential_violations(
+                df.select(check.column), catalog, check.column,
+                p.get("ref_column", check.column),
+            ).persist()
+            n_viol = missing.count()
+            extra = missing.select(
+                F.col(check.column).alias("clip_id"), F.lit(cid).alias("constraint_id")
+            ).dropDuplicates()
+            metric = float(n_viol)
+            passed = n_viol == 0
+        elif check.kind == "completeness_min":
+            row = df.agg(
+                F.try_divide(F.count(check.column), F.count(F.lit(1))).alias("r"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            metric = float(row["r"]) if row["r"] is not None else 1.0
+            n_rows, n_viol = int(row["n"]), 0
+            passed = metric >= float(p.get("min_ratio", 1.0))
+        elif check.kind == "row_count_min":
+            n_rows = df.count()
+            metric = float(n_rows)
+            n_viol = 0
+            passed = n_rows >= int(p["min_rows"])
+        elif check.kind == "distinct_range":
+            d = df.agg(F.approx_count_distinct(check.column).alias("d")).first()["d"]
+            metric = float(d)
+            n_viol = 0
+            passed = p.get("min", 0) <= d <= p.get("max", float("inf"))
+        elif check.kind == "quantile_range":
+            q = float(p.get("q", 0.5))
+            val = df.agg(F.expr(f"percentile_approx({check.column}, {q})").alias("v")).first()["v"]
+            metric = float(val)
+            n_viol = 0
+            passed = p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
+        elif check.kind in ("drift_psi", "drift_ks"):
+            if baseline is None:
+                raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")
+            cur = histogram(df, check.column)
+            base = baseline.filter(F.col("metric") == check.column).select("bucket", "count")
+            if check.kind == "drift_psi":
+                metric = float(drift_psi(cur, base).first()["psi"])
+                passed = metric <= float(p.get("max_psi", 0.2))
+            else:
+                metric = float(drift_ks(cur, base).first()["ks"])
+                passed = metric <= float(p.get("max_ks", 0.1))
+            n_viol = 0
+        else:
+            raise ValueError(f"unknown table-level check: {check.kind}")
+        return (GLOBAL_PART, cid, n_rows, int(n_viol), bool(passed), metric), extra

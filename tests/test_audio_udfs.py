@@ -1,0 +1,92 @@
+"""Payload-layer tests: synthesis round-trip, per-row invariants
+(decoded-PCM allclose at SNR>=30dB + transcript equality — BASELINE.json
+input_hint), in-band error rows, empty-input default row semantics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.functions.audio import (
+    decode_payload,
+    decode_pcm_udf,
+    encode_wav_pcm16,
+    energy_ratio,
+    synth_clip_bytes,
+    synth_pcm,
+    with_audio_metrics,
+)
+from doc_quality_check_spark.sources.clips import load_clips
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    n = min(len(ref), len(test))
+    ref, test = ref[:n].astype(np.float64), test[:n].astype(np.float64)
+    noise = ref - test
+    p_sig = np.mean(ref**2)
+    p_noise = max(np.mean(noise**2), 1e-300)
+    return 10 * np.log10(p_sig / p_noise)
+
+
+def test_wav16_roundtrip_snr():
+    pcm = synth_pcm(7, 16000, 500)
+    sr, out = decode_payload(encode_wav_pcm16(pcm, 16000), "pcm_s16le")
+    assert sr == 16000
+    assert len(out) == len(pcm)
+    assert snr_db(pcm, out) >= 30.0
+
+
+@pytest.mark.parametrize("codec", ["pcm_s16le", "pcm_u8", "flac"])
+def test_codec_roundtrip(codec):
+    pcm = synth_pcm(11, 8000, 400)
+    buf = synth_clip_bytes(11, 8000, 400, codec)
+    sr, out = decode_payload(buf, codec)
+    assert sr == 8000
+    # pcm_u8 is 8-bit: lower fidelity, still comfortably >30dB for sines
+    assert snr_db(pcm, out) >= 30.0
+
+
+def test_energy_ratio_silent_vs_signal():
+    assert energy_ratio(np.zeros(1000, dtype=np.float32)) == 0.0
+    assert energy_ratio(synth_pcm(3, 8000, 300)) > 0.5
+
+
+def test_corrupt_and_empty_payloads():
+    with pytest.raises(ValueError):
+        decode_payload(b"XXXXnot audio at all", "pcm_s16le")
+    sr, pcm = decode_payload(b"", "pcm_s16le")  # empty-input default row
+    assert sr == 0 and len(pcm) == 0
+
+
+def test_metrics_udf_over_clips(spark, clips_dir):
+    df = load_clips(spark, clips_dir)
+    m = with_audio_metrics(df.limit(600))
+    assert "bytes" not in m.columns  # payload dropped before any shuffle
+    rows = m.select("category", "decode_ok", "energy_ratio", "decode_conf", "error").collect()
+    by_cat = {}
+    for r in rows:
+        by_cat.setdefault(r["category"], []).append(r)
+    for r in by_cat.get("silent", []):
+        assert r["decode_ok"] and r["energy_ratio"] == 0.0 and r["decode_conf"] == 0.0
+    for r in by_cat.get("corrupt", []):
+        assert not r["decode_ok"] and r["error"]  # in-band error row
+    valid = by_cat.get("valid", [])
+    assert valid and all(r["decode_conf"] > 15 for r in valid if r["decode_ok"])
+
+
+def test_per_row_pcm_invariant(spark, clips_dir):
+    """Per-row invariant vs the generator: decoded PCM allclose at SNR>=30dB
+    and transcript equality, on a deterministic sample of valid rows."""
+    df = load_clips(spark, clips_dir).filter(F.col("category") == "valid").limit(24)
+    rows = (
+        df.withColumn("pcm", decode_pcm_udf(F.col("bytes"), F.col("codec")))
+        .select("clip_id", "sr_hz", "dur_ms", "transcript", "pcm")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        i = int(r["clip_id"].split("_")[1])
+        expected = synth_pcm(42 * 7 + i, r["sr_hz"], r["dur_ms"])
+        got = np.array(r["pcm"], dtype=np.float32)
+        assert len(got) == len(expected)
+        assert snr_db(expected, got) >= 30.0
+        assert isinstance(r["transcript"], str) and len(r["transcript"]) > 0

@@ -1,0 +1,102 @@
+"""Golden-suite test: full default suite over the synthetic clips table must
+reproduce the exactly-derivable violation set (clip_id, constraint_id) and
+per-partition verdicts (SURVEY.md §5 'Golden-suite test')."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.sources.clips import (
+    load_baseline,
+    load_catalog,
+    load_clips,
+)
+from doc_quality_check_spark.suite.runner import GLOBAL_PART, SuiteRunner
+from doc_quality_check_spark.suite.spec import CheckSuite, default_suite
+
+
+@pytest.fixture(scope="module")
+def result(spark, clips_dir):
+    runner = SuiteRunner(default_suite())
+    res = runner.run(
+        load_clips(spark, clips_dir),
+        catalog=load_catalog(spark, clips_dir),
+        baseline=load_baseline(spark, clips_dir),
+    )
+    yield res
+    res.unpersist()
+
+
+def test_exact_violation_set(spark, clips_dir, result):
+    expected = {
+        (r["clip_id"], r["constraint_id"])
+        for r in spark.read.parquet(f"{clips_dir}/expected_violations.parquet").collect()
+    }
+    got = {(r["clip_id"], r["constraint_id"]) for r in result.violations.collect()}
+    missing = expected - got
+    spurious = got - expected
+    assert not missing, f"missing {len(missing)}: {sorted(missing)[:10]}"
+    assert not spurious, f"spurious {len(spurious)}: {sorted(spurious)[:10]}"
+
+
+def test_partition_verdicts(result):
+    rows = result.verdicts.collect()
+    parts = {r["part_key"] for r in rows}
+    assert GLOBAL_PART in parts and len(parts) == 9  # 8 data partitions + global
+    # every partition has anomalies injected (i%200 buckets hit all i%8 parts)
+    by_check = {}
+    for r in rows:
+        if r["part_key"] != GLOBAL_PART:
+            by_check.setdefault(r["constraint_id"], []).append(r)
+    assert any(not r["passed"] for r in by_check["clip_not_silent"])
+    # n_violations sums match the violation table for a row-level check
+    nv = sum(r["n_violations"] for r in by_check["sr_domain"])
+    viol_cnt = result.violations.filter(F.col("constraint_id") == "sr_domain").count()
+    assert nv == viol_cnt
+
+
+def test_global_checks(result):
+    g = {r["constraint_id"]: r for r in result.verdicts.collect() if r["part_key"] == GLOBAL_PART}
+    assert not g["clip_id_unique"]["passed"]          # injected dups
+    assert not g["transcript_in_catalog"]["passed"]   # injected missing ids
+    assert g["completeness_transcript"]["passed"]     # only ~0.5% null
+    assert not g["sr_drift"]["passed"] or g["sr_drift"]["metric_value"] >= 0
+    # codec drift is injected in the baseline as shifted — sr is near-identical
+    assert g["sr_drift"]["metric_value"] < 0.05
+
+
+def test_first_failure_wins_reason(result):
+    # silent rows: clip_not_silent (priority 2) outranks clip_decodable (3)
+    rows = result.checked.filter(F.col("category") == "silent").select("reason").collect()
+    assert rows and all(r["reason"] == "clip_not_silent" for r in rows)
+    ok = result.checked.filter(F.col("category") == "valid").select("reason").collect()
+    assert ok and all(r["reason"] == "OK" for r in ok)
+
+
+def test_summary(result):
+    s = result.summary.first()
+    assert s["n_rows"] == 2400
+    assert s["n_valid"] + s["n_invalid"] == 2400
+    assert s["n_invalid"] > 0
+    assert s["avg_decode_conf"] > 0
+
+
+def test_suite_json_roundtrip():
+    suite = default_suite()
+    again = CheckSuite.from_json(suite.to_json())
+    assert again.to_json() == suite.to_json()
+    assert [c.constraint_id for c in again.checks] == [c.constraint_id for c in suite.checks]
+
+
+def test_metadata_only_run_skips_decode(spark, clips_dir):
+    """Column-pruning discipline: payload=False must not read/decode bytes."""
+    res = SuiteRunner(default_suite()).run(
+        load_clips(spark, clips_dir),
+        catalog=load_catalog(spark, clips_dir),
+        baseline=load_baseline(spark, clips_dir),
+        payload=False,
+    )
+    assert "bytes" not in res.checked.columns
+    assert "decode_conf" not in res.checked.columns
+    cons = {r["constraint_id"] for r in res.violations.select("constraint_id").distinct().collect()}
+    assert "clip_decodable" not in cons and "sr_domain" in cons
+    res.unpersist()
