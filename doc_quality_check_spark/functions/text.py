@@ -1,0 +1,181 @@
+"""Text-analysis function surface: cleaning, artifact filtering, language ID,
+token statistics, quality scoring, fingerprinting, key/value extraction.
+
+Reference parity (SURVEY.md §2.3) — all pure Catalyst expressions
+(whole-stage codegen, no Python in the hot path):
+
+- F11 text cleaning chain (/root/reference/utils/text_cleaner.py:8-51):
+  strip null/control chars, collapse `?`/`•` runs, collapse whitespace, trim.
+- F12/F14 artifact scrubbing + typology (/root/reference/utils/
+  text_filter.py:60-84, 154-191): regex library for file-paths / URLs /
+  timestamps; which classes are present.
+- F15 language detection (/root/reference/utils/document_processor.py:39-89):
+  per-language keyword-catalog hit counts, argmax with default fallback.
+- F16 key/value extraction (/root/reference/utils/content_extraction.py:150-189).
+- F17 marker counting (MRZ `<` counting, /root/reference/modules/
+  identity_detection.py:137-138,157).
+- F18 text length / word count (identity_detection.py:500-501).
+- plus the training-pipeline additions: token counting, quality scoring
+  (length/punct/stopword ratios), polynomial document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# The cleaning chain — ordered (regex, replacement) pairs, applied in
+# sequence exactly like the reference's chained re.sub calls
+# (text_cleaner.py:13-42). Patterns kept to the RE2-compatible subset so the
+# DuckDB oracle evaluates them identically.
+CLEANING_CHAIN: list[tuple[str, str]] = [
+    (r"\x00", ""),                  # null bytes
+    (r"[\x01-\x08\x0b\x0c\x0e-\x1f]", ""),  # control chars (keep \t\n\r)
+    (r"\?{4,}", " "),               # long ?-runs (OCR noise analog)
+    (r"[ \t]+", " "),               # collapse spaces/tabs
+    (r" ?\n ?", "\n"),              # trim around newlines
+    (r"\n{3,}", "\n\n"),            # collapse blank-line runs
+]
+
+# Artifact class library (text_filter.py:18-57 analog) — label → pattern.
+ARTIFACT_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^ ]+",
+    "file_path": r"file:///[^ ]+",
+    "timestamp": r"[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{1,2}:[0-9]{2}",
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 131
+
+
+def clean_text(col: str | Column) -> Column:
+    """The F11 chain as nested regexp_replace — one codegen'd expression."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in CLEANING_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)
+
+
+def artifact_flags(col: str) -> list[Column]:
+    """One boolean column per artifact class."""
+    return [
+        F.col(col).rlike(pat).alias(f"has_{label}")
+        for label, pat in ARTIFACT_PATTERNS.items()
+    ]
+
+
+def artifact_types(col: str) -> Column:
+    """Sorted comma-joined list of artifact classes present (F14) — a scalar
+    so result rows stay hashable by the oracle compare."""
+    parts = [
+        F.when(F.col(col).rlike(pat), F.lit(label))
+        for label, pat in sorted(ARTIFACT_PATTERNS.items())
+    ]
+    return F.array_join(F.array_compact(F.array(*parts)), ",")
+
+
+def scrub_artifacts(col: str | Column) -> Column:
+    """F12: remove every artifact occurrence (chained regexp_replace)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat in ARTIFACT_PATTERNS.values():
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
+def token_count(col: str) -> Column:
+    """Whitespace token count; 0 for empty/null-ish strings."""
+    return F.when(
+        F.length(F.trim(F.col(col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(col)), r"\s+"))).alias("n_tokens")
+
+
+def marker_count(col: str, marker: str) -> Column:
+    """Occurrences of a literal marker char/substring (F17: `<` counting) via
+    length difference — no regex engine in the loop."""
+    return (
+        (F.length(F.col(col)) - F.length(F.replace(F.col(col), F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("int")
+
+
+def language_scores(col: str, catalogs: dict[str, list[str]]) -> list[Column]:
+    """Per-language distinct-keyword hit counts over the token set (F15)."""
+    toks = F.array_distinct(F.split(F.lower(F.col(col)), r"\s+"))
+    return [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(k) for k in kws]))).alias(f"score_{lang}")
+        for lang, kws in catalogs.items()
+    ]
+
+
+def language_argmax(catalogs: dict[str, list[str]], default: str = "unknown") -> Column:
+    """Argmax over score_<lang> columns with deterministic tie-break (first
+    catalog in sorted order wins) and default when all scores are 0."""
+    langs = sorted(catalogs)
+    best: Column = F.lit(default)
+    best_score: Column = F.lit(0)
+    # iterate reversed so earlier (sorted-first) languages win ties via >
+    for lang in reversed(langs):
+        s = F.col(f"score_{lang}")
+        take = s >= best_score
+        # strictly-greater for languages later in sort order is enforced by
+        # processing order: later langs only displace on strict >
+        best = F.when((s > 0) & take, F.lit(lang)).otherwise(best)
+        best_score = F.when((s > 0) & take, s).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: str) -> Column:
+    """Order-sensitive polynomial document fingerprint over token hashes:
+    h = fold(tokens, 0, (acc, t) -> (acc*BASE + H(t)) mod M). Equal token
+    sequences → equal fingerprints; cheap 8-byte dedupe/bucketing key."""
+    toks = f"split({col}, ' ')"
+    h = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    return F.expr(
+        f"aggregate(transform({toks}, t -> {h}), CAST(0 AS BIGINT), "
+        f"(acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD})"
+    )
+
+
+def quality_features(col: str) -> list[Column]:
+    """Quality-scoring raw features: char count, token count, alpha ratio,
+    punct ratio, stopword ratio, mean token length."""
+    c = F.col(col)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    toks = F.split(F.trim(c), r"\s+")
+    n_toks = token_count(col)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "to"))
+    )
+    return [
+        n_chars.alias("n_chars2"),
+        n_toks.alias("n_tokens"),
+        F.round(F.try_divide(n_alpha, n_chars), 4).alias("alpha_ratio"),
+        F.round(F.try_divide(n_punct, n_chars), 4).alias("punct_ratio"),
+        F.round(F.try_divide(stop, n_toks), 4).alias("stopword_ratio"),
+        F.round(F.try_divide(n_chars - n_toks + 1, n_toks), 4).alias("mean_token_len"),
+    ]
+
+
+def quality_score() -> Column:
+    """Composite quality score in [0,100] from the quality_features columns —
+    the clamp-to-[0,100] arithmetic of the reference's confidence formula
+    (/root/reference/modules/identity_detection.py:652-698: base + bonuses −
+    penalties, clamped). Reads the feature columns by name."""
+    base = F.least(F.col("n_tokens").cast("double") * 1.5, F.lit(40.0))
+    alpha_bonus = F.when(F.col("alpha_ratio") >= 0.7, F.lit(25.0)).otherwise(F.lit(0.0))
+    stop_bonus = F.when(
+        (F.col("stopword_ratio") >= 0.02) & (F.col("stopword_ratio") <= 0.3), F.lit(20.0)
+    ).otherwise(F.lit(0.0))
+    len_penalty = F.when(F.col("n_tokens") < 5, F.lit(-30.0)).otherwise(F.lit(0.0))
+    punct_penalty = F.when(F.col("punct_ratio") > 0.2, F.lit(-15.0)).otherwise(F.lit(0.0))
+    raw = base + alpha_bonus + stop_bonus + len_penalty + punct_penalty
+    return F.round(F.least(F.lit(100.0), F.greatest(F.lit(0.0), raw)), 4)
+
+
+def extract_kv_int(col: str, key: str) -> Column:
+    """F16 analog: pull an integer value for ``key`` out of a semi-structured
+    string column via one regexp_extract (no JSON parser dependency).
+    No-match → empty string → null (never an ANSI cast error)."""
+    ex = F.regexp_extract(F.col(col), f'"{key}":\\s*([0-9]+)', 1)
+    return F.when(ex == "", F.lit(None)).otherwise(ex).cast("int")

@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+A large-scale training-data pipeline needs near-duplicate removal as a
+first-class operation; the reference's closest analogs are its set-dedupe of
+scanned paths (/root/reference/test_readability.py:153) and the cross-document
+keyword-frequency analysis that compares documents by shared token evidence
+(/root/reference/modules/identity_detection.py:261-327). This module
+generalizes those to content-level dedup over a text column.
+
+Every operator is expressed relationally (explode + join + agg) so Catalyst
+plans it with partial aggregation and AQE; nothing collects to the driver.
+
+Scale notes (100 TB design point):
+- The inverted-index Jaccard join shuffles (shingle, doc_id) pairs. Shingle
+  document-frequency is Zipfian; ``max_shingle_df`` drops shingles whose DF
+  exceeds a cap before the self-join — the standard positional-filter trick:
+  at threshold t, a near-dup pair shares many shingles, so dropping the few
+  ultra-hot shingles (stop-shingles) cannot drop a qualifying pair's ENTIRE
+  overlap; it only bounds the worst self-join bucket. Left None for oracle
+  parity at test scale.
+- MinHash/LSH replaces the all-shared-shingle join with a band-bucket join:
+  k hash mins per doc, b bands of r rows; candidate volume per band bucket is
+  tiny for non-duplicates. Signatures are 16 BIGINTs per doc — the only
+  state that shuffles.
+- SimHash pairs join on 8-bit blocks (pigeonhole: hamming <= max_hamming < 4
+  blocks guarantees one identical block), so candidates are found with an
+  equi-join, never an all-pairs comparison.
+
+Hash parity: H(s) = first-8-hex-digits of md5(s) as a bigint is computed
+identically by Spark (``conv(substr(md5(s),1,8),16,10)``) and DuckDB
+(``('0x'||substr(md5(s),1,8))::BIGINT``), so the DuckDB oracle reproduces
+signatures bit-for-bit (see queries.py oracle builders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# MinHash universal-hash family h_i(x) = (a_i * x + b_i) mod P over the 32-bit
+# token-hash domain. P is the smallest prime > 2^32; a_i < 2^20 keeps
+# a_i * H < 2^52 (safe in 64-bit signed arithmetic under ANSI mode on both
+# engines). Constants are literals so the SQL oracle builder can embed them.
+MINHASH_PRIME = 4294967311
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (131, 7), (263, 101), (397, 211), (523, 307),
+    (659, 401), (797, 503), (919, 601), (1049, 701),
+    (1181, 809), (1307, 907), (1433, 1009), (1559, 1103),
+    (1693, 1201), (1823, 1301), (1951, 1409), (2087, 1511),
+]
+
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4  # 8-bit blocks; pigeonhole candidate join
+
+
+def token_hash_expr(col: str) -> str:
+    """SQL fragment: 32-bit deterministic hash of a string column (shared
+    Spark/DuckDB semantics via md5 hex prefix)."""
+    return f"CAST(conv(substr(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def shingle_col(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column as array<string>.
+    Whitespace tokenization; empty array when fewer than n tokens."""
+    t = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows — the inverted-index fact table for all dedup ops."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_col(text_col, n)).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash groups with more than one member →
+    (text_md5, n_docs, first_id). One hash-shuffle on a 32-char key; the text
+    itself never shuffles."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("first_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold →
+    (id_a, id_b, jaccard). Exact: any pair with jaccard > 0 shares a shingle,
+    so the shared-shingle equi-join enumerates every candidate."""
+    sh = exploded_shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) — k permutation-mins over the shingle set, one
+    groupBy (partial-aggregated map-side)."""
+    assert k <= len(MINHASH_COEFFS)
+    sh = exploded_shingles(df, id_col, text_col, n)
+    h = F.expr(token_hash_expr("shingle"))
+    sh = sh.withColumn("_h", h)
+    aggs = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:k])
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash: band-bucket equi-join proposes
+    candidates; exact shingle Jaccard verifies >= threshold. Output
+    (id_a, id_b, jaccard). A pair at similarity s is caught with probability
+    1-(1-s^r)^b (r=4, b=4: s=0.97 → ~0.9998)."""
+    k = bands * rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_cols = [
+        F.concat_ws(
+            "_",
+            F.lit(bi),
+            *[F.col(f"mh{bi * rows_per_band + ri}") for ri in range(rows_per_band)],
+        ).alias(f"band{bi}")
+        for bi in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    # unpivot bands → one equi-join on the band value instead of b self-joins
+    stack = ", ".join(f"'{bi}', band{bi}" for bi in range(bands))
+    long = banded.selectExpr(
+        id_col, f"stack({bands}, {stack}) AS (band_idx, band_key)"
+    )
+    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact-Jaccard verification restricted to the candidate pairs — the
+    # shared-shingle count is computed per candidate, not all-pairs
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(za), "id_a").join(F.broadcast(zb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over the shingle set: per-bit majority
+    vote of shingle hashes, computed as 32 conditional sums in ONE groupBy."""
+    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = sh.withColumn("_h", F.expr(token_hash_expr("shingle")))
+    aggs = [
+        F.sum(
+            F.when((F.shiftrightunsigned("_h", j).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = sh.groupBy(id_col).agg(*aggs)
+    val = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return votes.select(F.col(id_col), val.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming →
+    (id_a, id_b, hamming). Candidates come from an equi-join on 8-bit blocks:
+    with 4 blocks and max_hamming <= 3, pigeonhole guarantees one identical
+    block per qualifying pair — equivalent to the all-pairs scan, without it."""
+    assert max_hamming < SIMHASH_BLOCKS, "pigeonhole requires max_hamming < n_blocks"
+    sig = simhash(df, id_col, text_col, n)
+    blocks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("blk"),
+                    F.shiftrightunsigned("simhash", 8 * bi).bitwiseAND(F.lit(255)).alias("val"),
+                )
+                for bi in range(SIMHASH_BLOCKS)
+            ])
+        ).alias("e"),
+    ).select(F.col(id_col), "simhash", F.col("e.blk").alias("blk"), F.col("e.val").alias("val"))
+    a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup verdict: keep-first representative per duplicate cluster
+# ---------------------------------------------------------------------------
+
+def dedup_keep_first(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
+    """Given near-dup pairs, mark rows to DROP: every id that appears as the
+    greater member of a pair with a smaller surviving id (greedy min-id
+    representative — one window, no iterative connected components; for full
+    transitive clustering see large-scale connected-components literature)."""
+    drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(drop, id_col, "left_anti")

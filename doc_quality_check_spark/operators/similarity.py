@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data pipelines need approximate-nearest-neighbor retrieval over
+document/clip embeddings (near-dup mining, retrieval eval). Two tiers:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the full corpus, dot products as Catalyst higher-order
+  functions (``zip_with`` + ``aggregate``) entirely JVM-side — no Python in
+  the hot path — then one window per query for the top-k cut. At 100 TB this
+  is the "small query set × huge corpus" pattern: the corpus is scanned once,
+  never shuffled (only the k survivors per query move).
+
+- :func:`sign_lsh_topk` — the scale path for query sets too large to
+  broadcast-scan: random-hyperplane-style sign buckets (here: sign bits of
+  the first ``n_bits`` dimensions — deterministic, oracle-reproducible)
+  restrict each query to one bucket's rows via an equi-join. The bucket join
+  is AQE-skew-aware; recall is traded for a ~2^n_bits candidate reduction.
+
+Norms are precomputed per row; cosine = dot / (norm_a * norm_b) in double
+precision (fold order = array order on both engines, so the DuckDB oracle
+matches after 6-dp rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.expr(_norm_expr(vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query → (query_id, neighbor_id, cosine, rn).
+
+    ``queries`` must be small (broadcast). Self-matches excluded.
+    Deterministic: ranked by (cosine rounded 6dp desc, neighbor_id asc).
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("norm").alias("_cn"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("norm").alias("_qn"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_dot_expr("_qv", "_cv")) / (F.col("_qn") * F.col("_cn")), 6
+    ).alias("cosine")
+    scored = pairs.select("query_id", "neighbor_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def sign_bucket_expr(vec_col: str, n_bits: int = 8) -> F.Column:
+    """Deterministic LSH bucket: bit i set iff vec[i] >= 0 (a fixed axis-
+    aligned hyperplane family — swap in seeded random projections at scale)."""
+    terms = [
+        F.when(F.expr(f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def sign_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's sign bucket; exact cosine
+    top-k within the bucket → (query_id, neighbor_id, cosine, rn)."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("norm").alias("_cn"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("norm").alias("_qn"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(
+        F.expr(_dot_expr("_qv", "_cv")) / (F.col("_qn") * F.col("_cn")), 6
+    ).alias("cosine")
+    scored = pairs.select("query_id", "neighbor_id", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bucket blocking:
+    only same-bucket pairs are compared (near-identical vectors share all
+    sign bits), → (id_a, id_b, cosine >= threshold)."""
+    e = with_norm(corpus, vec_col).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        F.col("norm").alias("_n"),
+        sign_bucket_expr(vec_col, n_bits).alias("bucket"),
+    )
+    a = e.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "bucket")
+    cos = F.round(F.expr(_dot_expr("_va", "_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

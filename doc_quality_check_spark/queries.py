@@ -437,6 +437,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_ks": q_drift_ks,
 }
 
+from doc_quality_check_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+
 ORACLES: dict[str, str] = {
     "verdict_projection": SQL_VERDICT,
     "violation_rows": SQL_VIOLATIONS,
@@ -457,3 +461,5 @@ ORACLES: dict[str, str] = {
     "drift_psi": SQL_DRIFT_PSI,
     "drift_ks": SQL_DRIFT_KS,
 }
+
+ORACLES.update(ORACLES_EXT)

@@ -1,0 +1,821 @@
+"""Extended driver-contract query surface: text analysis, deduplication,
+similarity search, classification, fan-out, grouped repair.
+
+Same conventions as queries.py (identical aliases both sides, rounded floats,
+deterministic tie-breaks). The MinHash/SimHash oracles are generated
+programmatically from the SAME constants the Spark operators use
+(operators/dedup.py MINHASH_COEFFS / MINHASH_PRIME), with the shared
+hash H(s) = first-8-hex-of-md5(s) as bigint:
+  Spark:  CAST(conv(substr(md5(s),1,8),16,10) AS BIGINT)
+  DuckDB: ('0x'||substr(md5(s),1,8))::BIGINT
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from doc_quality_check_spark.functions.classify import (
+    argmax_type,
+    classification_confidence,
+    frequency_boost,
+    margin_classify,
+    type_scores,
+)
+from doc_quality_check_spark.functions.text import (
+    ARTIFACT_PATTERNS,
+    CLEANING_CHAIN,
+    artifact_flags,
+    artifact_types,
+    clean_text,
+    extract_kv_int,
+    fingerprint,
+    language_argmax,
+    language_scores,
+    marker_count,
+    quality_features,
+    quality_score,
+    token_count,
+    FINGERPRINT_BASE,
+    FINGERPRINT_MOD,
+)
+from doc_quality_check_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from doc_quality_check_spark.operators.repair import pair_repair
+from doc_quality_check_spark.operators.segmentation import chunk_fanout
+from doc_quality_check_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    sign_lsh_topk,
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_H_SQL = "('0x'||substr(md5({col}),1,8))::BIGINT"
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+)"""
+
+_JACCARD_CTE = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shared AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+
+def _minhash_sig_sql() -> str:
+    """sig CTE: doc_id, mh0..mh15 — identical to minhash_signatures()."""
+    h = _H_SQL.format(col="sh")
+    mins = ", ".join(
+        f"min(({h} * {a} + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _simhash_sig_sql() -> str:
+    """ssig CTE: doc_id, simhash — identical to simhash()."""
+    h = _H_SQL.format(col="sh")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return (
+        f"hv AS (SELECT doc_id, {h} AS h FROM sh), "
+        f"votes AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id), "
+        f"ssig AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_clean(spark, sf):
+    """F11 cleaning chain on deliberately-dirtied input (null-safe,
+    whitespace/?-run collapse), verified by output length + token count."""
+    d = t(spark, sf, "documents")
+    dirty = F.concat(F.col("text"), F.lit("   ?????? trailing   bits  "))
+    cleaned = clean_text(dirty)
+    return d.select(
+        "doc_id",
+        F.length(cleaned).alias("clean_len"),
+        F.size(F.split(cleaned, " ")).alias("clean_tokens"),
+    )
+
+
+def _clean_sql_expr(inner: str) -> str:
+    out = inner
+    for pat, rep in CLEANING_CHAIN:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"trim({out})"
+
+
+SQL_TEXT_CLEAN = f"""
+SELECT doc_id,
+       length({_clean_sql_expr("text || '   ?????? trailing   bits  '")}) AS clean_len,
+       len(string_split({_clean_sql_expr("text || '   ?????? trailing   bits  '")}, ' ')) AS clean_tokens
+FROM documents
+"""
+
+
+def q_artifact_typology(spark, sf):
+    """F12/F14: inject a deterministic artifact per doc_id bucket, detect
+    classes, scrub, report."""
+    d = t(spark, sf, "documents")
+    inject = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" see https://example.com/a?x=1"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" at file:///tmp/x.bin"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" on 12/31/2024 23:59"))
+        .otherwise(F.lit(""))
+    )
+    d = d.withColumn("_dirty", F.concat(F.col("text"), inject))
+    from doc_quality_check_spark.functions.text import scrub_artifacts
+
+    return d.select(
+        "doc_id",
+        *[c for c in artifact_flags("_dirty")],
+        artifact_types("_dirty").alias("artifact_types"),
+        F.length(scrub_artifacts(F.col("_dirty"))).alias("scrubbed_len"),
+    )
+
+
+def _artifact_sql() -> str:
+    inject = (
+        "CASE WHEN doc_id % 4 = 0 THEN ' see https://example.com/a?x=1' "
+        "WHEN doc_id % 4 = 1 THEN ' at file:///tmp/x.bin' "
+        "WHEN doc_id % 4 = 2 THEN ' on 12/31/2024 23:59' ELSE '' END"
+    )
+    flags = ", ".join(
+        f"regexp_matches(d2, '{pat}') AS has_{label}"
+        for label, pat in ARTIFACT_PATTERNS.items()
+    )
+    typ_parts = ", ".join(
+        f"CASE WHEN regexp_matches(d2, '{pat}') THEN '{label}' END"
+        for label, pat in sorted(ARTIFACT_PATTERNS.items())
+    )
+    scrub = "d2"
+    for pat in ARTIFACT_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', ' ', 'g')"
+    return f"""
+WITH d AS (SELECT doc_id, text || {inject} AS d2 FROM documents)
+SELECT doc_id, {flags},
+       coalesce(array_to_string(list_filter([{typ_parts}], x -> x IS NOT NULL), ','), '') AS artifact_types,
+       length({scrub}) AS scrubbed_len
+FROM d
+"""
+
+
+LANG_CATALOGS = {
+    "de": ["fast", "slow", "hash", "merge"],
+    "en": ["the", "a", "row", "table", "value"],
+    "es": ["data", "stream", "filter"],
+    "fr": ["query", "scan", "sort"],
+    "zh": ["spark", "window", "batch"],
+}
+
+
+def q_lang_id(spark, sf):
+    """F15 language detection: catalog hit counts + argmax with sorted-first
+    tie-break and 'unknown' fallback; compared against the labeled lang."""
+    d = t(spark, sf, "documents")
+    d = d.select("doc_id", "lang", *language_scores("text", LANG_CATALOGS))
+    return d.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"score_{lg}") for lg in sorted(LANG_CATALOGS)],
+        language_argmax(LANG_CATALOGS).alias("pred_lang"),
+    )
+
+
+def _lang_sql() -> str:
+    toks = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+    scores = ", ".join(
+        f"len(list_intersect({toks}, {kws!r})) AS score_{lg}".replace("'", "'")
+        for lg, kws in sorted(LANG_CATALOGS.items())
+        for kws in [[k.lower() for k in kws]]
+    )
+    langs = sorted(LANG_CATALOGS)
+    pred_cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"score_{lg} >= score_{other}" for other in langs[i + 1 :]]
+        conds.append(f"score_{lg} > 0")
+        pred_cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    pred = f"CASE {' '.join(pred_cases)} ELSE 'unknown' END"
+    score_cols = ", ".join(f"score_{lg}" for lg in langs)
+    return f"""
+WITH s AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang, {score_cols}, {pred} AS pred_lang FROM s
+"""
+
+
+def q_token_quality(spark, sf):
+    """F18 + quality scoring: raw features and the clamped composite score."""
+    d = t(spark, sf, "documents")
+    d = d.select("doc_id", *quality_features("text"))
+    return d.select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio",
+                    "stopword_ratio", "mean_token_len",
+                    quality_score().alias("quality"))
+
+
+SQL_TOKEN_QUALITY = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars2,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / NULLIF(length(text), 0), 4) AS alpha_ratio,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0 / NULLIF(length(text), 0), 4) AS punct_ratio,
+         round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> list_contains(['the','a','and','of','to'], x))) * 1.0
+               / NULLIF(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END, 0), 4) AS stopword_ratio,
+         round((length(text) - CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len(string_split_regex(trim(text), '\\s+')) END + 1) * 1.0
+               / NULLIF(CASE WHEN length(trim(text)) = 0 THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END, 0), 4) AS mean_token_len
+  FROM documents
+)
+SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, stopword_ratio, mean_token_len,
+       round(least(100.0, greatest(0.0,
+             least(n_tokens * 1.5, 40.0)
+             + CASE WHEN alpha_ratio >= 0.7 THEN 25.0 ELSE 0.0 END
+             + CASE WHEN stopword_ratio >= 0.02 AND stopword_ratio <= 0.3 THEN 20.0 ELSE 0.0 END
+             + CASE WHEN n_tokens < 5 THEN -30.0 ELSE 0.0 END
+             + CASE WHEN punct_ratio > 0.2 THEN -15.0 ELSE 0.0 END)), 4) AS quality
+FROM f
+"""
+
+
+def q_fingerprint(spark, sf):
+    """Order-sensitive polynomial token fingerprint per doc."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          s -> {_H_SQL.format(col='s')})),
+         (acc, x) -> (acc * {FINGERPRINT_BASE} + x) % {FINGERPRINT_MOD}) AS fp
+FROM documents
+"""
+
+
+def q_marker_count(spark, sf):
+    """F17 marker counting via length-difference (no regex in the loop)."""
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", marker_count("text", "a").alias("n_marker"))
+
+
+SQL_MARKER = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, 'a', '')) AS INT) AS n_marker
+FROM documents
+"""
+
+
+def q_kv_extract(spark, sf):
+    """F16 key/value extraction from a semi-structured string column."""
+    ev = t(spark, sf, "events")
+    return ev.select("event_id", extract_kv_int("props", "k").alias("k_val"))
+
+
+SQL_KV = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INTEGER) AS k_val
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    d = t(spark, sf, "documents")
+    return exact_duplicates(d, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS first_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark, sf):
+    d = t(spark, sf, "documents")
+    p = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return p.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
+SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
+"""
+
+
+def q_minhash_signatures(spark, sf):
+    d = t(spark, sf, "documents")
+    return minhash_signatures(d, "doc_id", "text")
+
+
+SQL_MINHASH_SIG = f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()}
+SELECT * FROM sig
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    d = t(spark, sf, "documents")
+    p = minhash_lsh_pairs(d, "doc_id", "text", n=3, bands=4, rows_per_band=4, threshold=0.6)
+    return p.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _minhash_lsh_sql() -> str:
+    band_conds = []
+    for bi in range(4):
+        cols = [f"mh{bi * 4 + ri}" for ri in range(4)]
+        band_conds.append("(" + " AND ".join(f"a.{c} = b.{c}" for c in cols) + ")")
+    return f"""
+WITH {_SHINGLES_CTE}, {_minhash_sig_sql()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {' OR '.join(band_conds)}
+),
+{_JACCARD_CTE.lstrip()}
+SELECT c.id_a, c.id_b, round(j.jaccard, 4) AS jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= 0.6
+"""
+
+
+def q_simhash_values(spark, sf):
+    d = t(spark, sf, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+SQL_SIMHASH_VALUES = f"""
+WITH {_SHINGLES_CTE}, {_simhash_sig_sql()}
+SELECT doc_id, simhash FROM ssig
+"""
+
+
+def q_dedup_simhash(spark, sf):
+    d = t(spark, sf, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {_SHINGLES_CTE}, {_simhash_sig_sql()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DIMS_CTE = """
+dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY 1)"""
+
+
+def q_cosine_topk(spark, sf):
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(e, q, k=10)
+
+
+SQL_COSINE_TOPK = f"""
+WITH {_DIMS_CTE},
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, sum(q.x * d.x) AS dot
+  FROM dims q JOIN dims d ON q.i = d.i AND d.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nd.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored) x
+WHERE rn <= 10
+"""
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8)
+)
+
+
+def q_ann_sign_lsh(spark, sf):
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return sign_lsh_topk(e, q, k=3, n_bits=8)
+
+
+SQL_ANN_SIGN_LSH = f"""
+WITH {_DIMS_CTE},
+bk AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+dots AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, sum(q.x * d.x) AS dot
+  FROM dims q
+  JOIN bk bq ON bq.vec_id = q.vec_id
+  JOIN bk bd ON bd.bucket = bq.bucket
+  JOIN dims d ON d.vec_id = bd.vec_id AND d.i = q.i AND d.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nd.nrm), 6) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nd ON nd.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored) x
+WHERE rn <= 3
+"""
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs within sign buckets. Threshold 0.3 is
+    calibrated to the synthetic embeddings (max pairwise cosine ≈ 0.51) so the
+    result is non-trivial; production near-dup mining would use ≥0.9."""
+    e = t(spark, sf, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.3)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH {_DIMS_CTE},
+bk AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b, sum(da.x * db.x) AS dot
+  FROM pairs p
+  JOIN dims da ON da.vec_id = p.id_a
+  JOIN dims db ON db.vec_id = p.id_b AND db.i = da.i
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classification / scoring
+# ---------------------------------------------------------------------------
+
+TYPE_CATALOGS = {
+    "analytics": {"primary": ["query", "scan", "filter", "sort"], "secondary": ["table", "row"]},
+    "streaming": {"primary": ["stream", "window", "batch"], "secondary": ["data", "line"]},
+}
+
+
+def q_type_classification(spark, sf):
+    """C2: weighted catalog scores + argmax with 'unknown' fallback."""
+    d = t(spark, sf, "documents")
+    d = d.select("doc_id", "text", *type_scores("text", TYPE_CATALOGS))
+    return d.select(
+        "doc_id", "score_analytics", "score_streaming",
+        argmax_type(list(TYPE_CATALOGS)).alias("doc_type"),
+    )
+
+
+def _hits_sql(kws: list[str]) -> str:
+    toks = "list_distinct(string_split_regex(lower(text), '\\s+'))"
+    lit = "[" + ", ".join(f"'{k}'" for k in kws) + "]"
+    return f"len(list_intersect({toks}, {lit}))"
+
+
+def _type_sql() -> str:
+    scores = []
+    for typ, cats in TYPE_CATALOGS.items():
+        s = f"{_hits_sql(cats['primary'])} * 2 + {_hits_sql(cats['secondary'])} * 1"
+        scores.append(f"{s} AS score_{typ}")
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents)
+SELECT doc_id, score_analytics, score_streaming,
+       CASE WHEN score_analytics >= score_streaming AND score_analytics > 0 THEN 'analytics'
+            WHEN score_streaming > 0 THEN 'streaming'
+            ELSE 'unknown' END AS doc_type
+FROM s
+"""
+
+
+def q_margin_classification(spark, sf):
+    """C3: >10%-margin rule with deterministic 'ambiguous' default."""
+    d = t(spark, sf, "documents")
+    d = d.select("doc_id", *type_scores("text", TYPE_CATALOGS))
+    return d.select(
+        "doc_id",
+        margin_classify(
+            F.col("score_analytics"), F.col("score_streaming"),
+            "analytics", "streaming",
+        ).alias("label"),
+    )
+
+
+def _margin_sql() -> str:
+    scores = []
+    for typ, cats in TYPE_CATALOGS.items():
+        s = f"{_hits_sql(cats['primary'])} * 2 + {_hits_sql(cats['secondary'])} * 1"
+        scores.append(f"{s} AS score_{typ}")
+    return f"""
+WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents)
+SELECT doc_id,
+       CASE WHEN score_analytics + score_streaming = 0 THEN 'ambiguous'
+            WHEN abs(score_analytics - score_streaming) * 100.0
+                 / greatest(greatest(score_analytics, score_streaming), 1) <= 10.0 THEN 'ambiguous'
+            WHEN score_analytics > score_streaming THEN 'analytics'
+            ELSE 'streaming' END AS label
+FROM s
+"""
+
+
+def q_confidence_formula(spark, sf):
+    """C4: clamped weighted confidence arithmetic."""
+    d = t(spark, sf, "documents")
+    d = d.select(
+        "doc_id", "n_chars",
+        token_count("text").alias("n_tokens"),
+        *type_scores("text", TYPE_CATALOGS),
+    )
+    d = d.withColumn("metric", F.col("n_chars") / 10.0)
+    conf = classification_confidence(
+        "metric",
+        has_type_kw=F.col("score_analytics") > 0,
+        n_side_kw=F.col("score_streaming"),
+        band_col="n_tokens",
+        band_lo=30.0,
+        band_hi=70.0,
+        length_col="n_chars",
+        min_length=100,
+    )
+    return d.select("doc_id", F.round(conf, 4).alias("confidence"))
+
+
+def _confidence_sql() -> str:
+    sa = f"{_hits_sql(TYPE_CATALOGS['analytics']['primary'])} * 2 + {_hits_sql(TYPE_CATALOGS['analytics']['secondary'])} * 1"
+    ss = f"{_hits_sql(TYPE_CATALOGS['streaming']['primary'])} * 2 + {_hits_sql(TYPE_CATALOGS['streaming']['secondary'])} * 1"
+    return f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         {sa} AS score_analytics, {ss} AS score_streaming
+  FROM documents
+)
+SELECT doc_id,
+       round(least(100.0, greatest(0.0,
+             n_chars / 10.0 * 0.3
+             + CASE WHEN score_analytics > 0 THEN 30.0 ELSE 0.0 END
+             + least(score_streaming * 25.0, 50.0)
+             + CASE WHEN n_tokens >= 30.0 AND n_tokens <= 70.0 THEN 15.0
+                    WHEN n_tokens < 30.0 THEN -20.0 ELSE -10.0 END
+             + CASE WHEN n_chars >= 100 THEN 10.0 ELSE -30.0 END)), 4) AS confidence
+FROM s
+"""
+
+
+def q_freq_boost(spark, sf):
+    """C5/J2: cross-row label frequency → broadcast-back boost × quality
+    factor, capped."""
+    d = t(spark, sf, "documents")
+    d = d.select(
+        "doc_id", "lang",
+        F.least(F.col("n_chars") / 5.0, F.lit(100.0)).alias("base_conf"),
+        token_count("text").alias("n_tokens"),
+    )
+    out = frequency_boost(
+        d, label_col="lang", conf_col="base_conf", quality_col="n_tokens",
+        tiers=[(150, 15.0), (100, 10.0), (50, 5.0)],
+    )
+    return out.select("doc_id", "lang", "label_freq", "boost", "boosted_conf")
+
+
+SQL_FREQ_BOOST = """
+WITH d AS (
+  SELECT doc_id, lang,
+         least(n_chars / 5.0, 100.0) AS base_conf,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+),
+f AS (SELECT lang, count(*) AS label_freq FROM d GROUP BY 1),
+j AS (SELECT d.*, f.label_freq FROM d JOIN f USING (lang))
+SELECT doc_id, lang, label_freq,
+       round(CAST(CASE WHEN label_freq >= 150 THEN 15.0
+                  WHEN label_freq >= 100 THEN 10.0
+                  WHEN label_freq >= 50 THEN 5.0 ELSE 0.0 END
+             * CASE WHEN n_tokens < 30 THEN 0.5
+                    WHEN n_tokens < 50 THEN 0.75 ELSE 1.0 END AS DOUBLE), 4) AS boost,
+       round(least(100.0, greatest(0.0,
+             base_conf
+             + CASE WHEN label_freq >= 150 THEN 15.0
+                    WHEN label_freq >= 100 THEN 10.0
+                    WHEN label_freq >= 50 THEN 5.0 ELSE 0.0 END
+               * CASE WHEN n_tokens < 30 THEN 0.5
+                      WHEN n_tokens < 50 THEN 0.75 ELSE 1.0 END)), 4) AS boosted_conf
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fan-out + grouped repair
+# ---------------------------------------------------------------------------
+
+def q_chunk_fanout(spark, sf):
+    """O1/S3: doc → fixed-size chunk rows (pure Catalyst fan-out)."""
+    d = t(spark, sf, "documents")
+    return chunk_fanout(d, "doc_id", "text", chunk_chars=100).select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_len"
+    )
+
+
+SQL_CHUNK_FANOUT = """
+WITH nums AS (SELECT CAST(g AS INT) AS g FROM generate_series(0, 255) t(g))
+SELECT doc_id,
+       g AS chunk_idx,
+       substr(text, g * 100 + 1, 100) AS chunk_text,
+       length(substr(text, g * 100 + 1, 100)) AS chunk_len
+FROM documents JOIN nums
+  ON g < greatest(CAST(ceil(length(text) / 100.0) AS INT), 1)
+"""
+
+
+def q_pair_repair(spark, sf):
+    """J3 grouped repair via applyInPandas: within doc_id//2 pairs, the much-
+    shorter member adopts its partner's lang."""
+    d = t(spark, sf, "documents")
+    d = d.select(
+        "doc_id",
+        (F.col("doc_id") / 2).cast("long").alias("pair_key"),
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    out = pair_repair(d, group_col="pair_key", label_col="lang",
+                      weight_col="n_toks", id_col="doc_id")
+    return out.select("doc_id", "pair_key", "lang", "repaired_label")
+
+
+SQL_PAIR_REPAIR = """
+WITH g AS (
+  SELECT doc_id, doc_id // 2 AS pair_key, lang,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT a.doc_id, a.pair_key, a.lang,
+       CASE WHEN b.doc_id IS NOT NULL AND a.n_toks < 0.5 * b.n_toks
+            THEN b.lang ELSE a.lang END AS repaired_label
+FROM g a
+LEFT JOIN g b ON b.pair_key = a.pair_key AND b.doc_id <> a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (completeness / stats over a mixed-null table)
+# ---------------------------------------------------------------------------
+
+def q_completeness_profile(spark, sf):
+    ev = t(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.try_divide(F.count("props"), F.count(F.lit(1))), 6).alias("completeness_props"),
+        F.round(F.try_divide(F.count("value"), F.count(F.lit(1))), 6).alias("completeness_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+SQL_COMPLETENESS_PROFILE = """
+SELECT count(*) AS n_rows,
+       round(count(props) * 1.0 / count(*), 6) AS completeness_props,
+       round(count(value) * 1.0 / count(*), 6) AS completeness_value,
+       count(DISTINCT user_id) AS n_users,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(avg(value), 4) AS avg_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_clean": q_text_clean,
+    "artifact_typology": q_artifact_typology,
+    "lang_id": q_lang_id,
+    "token_quality": q_token_quality,
+    "doc_fingerprint": q_fingerprint,
+    "marker_count": q_marker_count,
+    "kv_extract": q_kv_extract,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash_values": q_simhash_values,
+    "dedup_simhash": q_dedup_simhash,
+    "cosine_topk": q_cosine_topk,
+    "ann_sign_lsh": q_ann_sign_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "type_classification": q_type_classification,
+    "margin_classification": q_margin_classification,
+    "confidence_formula": q_confidence_formula,
+    "freq_boost": q_freq_boost,
+    "chunk_fanout": q_chunk_fanout,
+    "pair_repair": q_pair_repair,
+    "completeness_profile": q_completeness_profile,
+}
+
+ORACLES_EXT: dict[str, str] = {
+    "text_clean": SQL_TEXT_CLEAN,
+    "artifact_typology": _artifact_sql(),
+    "lang_id": _lang_sql(),
+    "token_quality": SQL_TOKEN_QUALITY,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "marker_count": SQL_MARKER,
+    "kv_extract": SQL_KV,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "minhash_signatures": SQL_MINHASH_SIG,
+    "dedup_minhash_lsh": _minhash_lsh_sql(),
+    "simhash_values": SQL_SIMHASH_VALUES,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "ann_sign_lsh": SQL_ANN_SIGN_LSH,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "type_classification": _type_sql(),
+    "margin_classification": _margin_sql(),
+    "confidence_formula": _confidence_sql(),
+    "freq_boost": SQL_FREQ_BOOST,
+    "chunk_fanout": SQL_CHUNK_FANOUT,
+    "pair_repair": SQL_PAIR_REPAIR,
+    "completeness_profile": SQL_COMPLETENESS_PROFILE,
+}

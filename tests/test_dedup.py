@@ -1,0 +1,66 @@
+"""Dedup operator semantics over the shared documents fixtures (the driver's
+synthetic corpus plants ~25 near-duplicate pairs at 3-gram Jaccard ≈ 0.97)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/documents.parquet").cache()
+
+
+def test_jaccard_finds_planted_near_dups(docs):
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).collect()
+    assert len(pairs) >= 10
+    for r in pairs:
+        assert r["jaccard"] >= 0.6
+        assert r["id_a"] < r["id_b"]
+
+
+def test_minhash_lsh_matches_exact_jaccard(docs):
+    """At ~0.97 similarity, banded MinHash (b=4, r=4) catches every planted
+    pair — LSH result equals the exact inverted-index result."""
+    exact = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
+    assert lsh == exact
+
+
+def test_simhash_pairs_are_textually_similar(docs):
+    """Every hamming<=3 SimHash pair must also be a high-Jaccard pair."""
+    sim = {(r["id_a"], r["id_b"]) for r in
+           simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert sim, "expected at least one SimHash near-dup pair"
+    exact = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert sim <= exact
+
+
+def test_exact_duplicates_on_constructed_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "unique text here")],
+        ["doc_id", "text"],
+    )
+    rows = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["first_id"] == 1
+
+
+def test_dedup_keep_first_drops_higher_ids(docs):
+    pairs = jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
+    kept = dedup_keep_first(pairs, docs, "doc_id")
+    dropped = {r["id_b"] for r in pairs.collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(dropped)
+    assert kept.count() == docs.count() - len(dropped)

@@ -1,0 +1,63 @@
+"""Similarity-search correctness vs a local numpy reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    sign_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, qid, k):
+    qi = int(np.where(ids == qid)[0][0])
+    q = mat[qi]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    sims = np.round(sims, 6)
+    order = sorted(
+        [(s, i) for s, i in zip(sims, ids) if i != qid],
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rn"], r["neighbor_id"]))
+    for qid in (0, 1, 2):
+        spark_order = [n for _, n in sorted(got[qid])]
+        assert spark_order == _np_topk(ids, mat, qid, 5)
+
+
+def test_sign_lsh_candidates_share_bucket(emb, emb_np):
+    ids, mat = emb_np
+    out = sign_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
+    def bucket(v):
+        return sum((1 << i) for i in range(8) if v[i] >= 0)
+    id2vec = {i: mat[k] for k, i in enumerate(ids)}
+    for r in out:
+        assert bucket(id2vec[r["query_id"]]) == bucket(id2vec[r["neighbor_id"]])
+        assert r["rn"] <= 3
+
+
+def test_neardup_pairs_symmetric_bound(emb):
+    pairs = cosine_neardup_pairs(emb, threshold=0.3).collect()
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.3 for r in pairs)

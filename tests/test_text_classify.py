@@ -1,0 +1,110 @@
+"""Text-function + classification expression semantics (unit level — the
+oracle gate covers cross-engine parity; these pin the intended behaviors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.functions.classify import (
+    argmax_type,
+    catalog_hits,
+    clamp,
+    margin_classify,
+    type_scores,
+)
+from doc_quality_check_spark.functions.text import (
+    clean_text,
+    fingerprint,
+    language_argmax,
+    language_scores,
+    marker_count,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from doc_quality_check_spark.operators.repair import pair_repair
+
+
+def test_clean_text_chain(spark):
+    df = spark.createDataFrame(
+        [("a\x00b   c ???????? d\n\n\n\ne  ",)], ["text"]
+    )
+    out = df.select(clean_text("text").alias("c")).first()["c"]
+    assert "\x00" not in out
+    assert "????" not in out
+    assert "   " not in out
+    assert out == out.strip()
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert rows[1] == rows[3]
+    assert rows[1] != rows[2]
+
+
+def test_quality_score_bounds_and_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog again and again today"),
+         (2, "x"),
+         (3, ",,,,, ;;;; !!!! ....")],
+        ["doc_id", "text"],
+    )
+    out = df.select("doc_id", *quality_features("text"))
+    rows = {r["doc_id"]: r["q"] for r in out.select("doc_id", quality_score().alias("q")).collect()}
+    assert all(0.0 <= v <= 100.0 for v in rows.values())
+    assert rows[1] > rows[2]
+    assert rows[1] > rows[3]
+
+
+def test_language_argmax_tiebreak_and_default(spark):
+    cats = {"aa": ["foo"], "bb": ["bar"]}
+    df = spark.createDataFrame(
+        [(1, "foo bar"), (2, "bar"), (3, "baz")], ["i", "text"]
+    )
+    out = df.select("i", *language_scores("text", cats)).select(
+        "i", language_argmax(cats).alias("lang")
+    )
+    got = {r["i"]: r["lang"] for r in out.collect()}
+    assert got[1] == "aa"      # tie → sorted-first
+    assert got[2] == "bb"
+    assert got[3] == "unknown"
+
+
+def test_marker_count(spark):
+    df = spark.createDataFrame([("x<<<<<y<<z",)], ["t"])
+    assert df.select(marker_count("t", "<").alias("n")).first()["n"] == 7
+
+
+def test_margin_classify(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1.0), (1.0, 10.0), (5.0, 5.0), (0.0, 0.0), (10.0, 9.5)],
+        ["sa", "sb"],
+    )
+    out = df.select(
+        margin_classify(F.col("sa"), F.col("sb"), "A", "B").alias("lab")
+    ).collect()
+    labs = [r["lab"] for r in out]
+    assert labs == ["A", "B", "ambiguous", "ambiguous", "ambiguous"]
+
+
+def test_clamp(spark):
+    df = spark.createDataFrame([(150.0,), (-20.0,), (55.0,)], ["v"])
+    got = [r["c"] for r in df.select(clamp(F.col("v")).alias("c")).collect()]
+    assert got == [100.0, 0.0, 55.0]
+
+
+def test_pair_repair_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, "en", 100), (2, 0, "de", 10),     # short adopts 'en'
+            (3, 1, "fr", 50), (4, 1, "es", 45),      # comparable → unchanged
+            (5, 2, "zh", 9),                          # singleton → unchanged
+        ],
+        ["doc_id", "grp", "lang", "w"],
+    )
+    out = {r["doc_id"]: r["repaired_label"] for r in
+           pair_repair(df, "grp", "lang", "w", "doc_id").collect()}
+    assert out == {1: "en", 2: "en", 3: "fr", 4: "es", 5: "zh"}
