@@ -193,14 +193,56 @@ def energy_ratio(pcm: np.ndarray) -> float:
     return float(np.count_nonzero(np.abs(pcm) > thr)) / pcm.size
 
 
-def decode_confidence(ok: bool, pcm: np.ndarray) -> float:
+SPECTRAL_WINDOW = 16384
+SPECTRAL_MAX_WINDOWS = 8
+
+
+def spectral_flatness(pcm: np.ndarray) -> float:
+    """Welch-style spectral flatness ∈ [0,1]: per 16k-sample half-overlapped
+    Hann window, the geometric/arithmetic mean ratio of the power spectrum,
+    averaged over (at most 8) windows. Tonal signal → ~0, white noise → ~1,
+    silence → 1. This is the 'accurate'-mode analog of the reference's
+    heavyweight confidence tier (confidence_check.py:329-418: enhancement +
+    multi-PSM retry) — real DSP per payload, not just a header check."""
+    if pcm.size < 16:
+        return 1.0
+    x = pcm.astype(np.float64)
+    w = SPECTRAL_WINDOW
+    hop = w // 2
+    starts = list(range(0, max(x.size - w, 0) + 1, hop))[:SPECTRAL_MAX_WINDOWS] or [0]
+    hann = np.hanning(min(w, x.size))
+    vals = []
+    for s in starts:
+        seg = x[s : s + w]
+        spec = np.abs(np.fft.rfft(seg * hann[: seg.size])) ** 2 + 1e-12
+        vals.append(np.exp(np.mean(np.log(spec))) / np.mean(spec))
+    return float(np.mean(vals))
+
+
+def zero_crossing_rate(pcm: np.ndarray) -> float:
+    """Fraction of adjacent-sample sign changes ∈ [0,1] — a cheap vectorized
+    voicing/noise discriminator carried as a metric column."""
+    if pcm.size < 2:
+        return 0.0
+    return float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+
+
+def decode_confidence(ok: bool, pcm: np.ndarray, flatness: float | None = None) -> float:
     """Decode-validity confidence ∈ [0,100] — OCR-confidence analog
-    (confidence_check.py:178-261). Parse failure → 0 (like blank → 0.0)."""
+    (confidence_check.py:178-261). Parse failure → 0 (like blank → 0.0).
+    Signal presence (energy/RMS) scaled by tonality (1 − spectral flatness):
+    a decodable-but-noise-only payload scores lower than a tonal one."""
     if not ok or pcm.size == 0:
         return 0.0
     er = energy_ratio(pcm)
     rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
-    return float(min(100.0, 100.0 * min(1.0, 2.0 * er) * min(1.0, 10.0 * rms)))
+    if flatness is None:
+        flatness = spectral_flatness(pcm)
+    tonality = 1.0 - flatness
+    return float(
+        min(100.0, 100.0 * min(1.0, 2.0 * er) * min(1.0, 10.0 * rms)
+            * (0.5 + 0.5 * tonality))
+    )
 
 
 AUDIO_METRICS_SCHEMA = StructType(
@@ -209,6 +251,8 @@ AUDIO_METRICS_SCHEMA = StructType(
         StructField("header_sr", IntegerType()),
         StructField("n_samples", LongType()),
         StructField("energy_ratio", DoubleType()),
+        StructField("spectral_flatness", DoubleType()),
+        StructField("zcr", DoubleType()),
         StructField("decode_conf", DoubleType()),
         StructField("decoded_dur_ms", DoubleType()),
         StructField("error", StringType()),
@@ -226,11 +270,14 @@ def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
         except Exception as exc:  # in-band error row (test_readability.py:262-271)
             sr, pcm, ok, err = 0, np.zeros(0, dtype=np.float32), False, str(exc)
         er = energy_ratio(pcm)
+        flat = spectral_flatness(pcm) if ok and pcm.size else 1.0
         out["decode_ok"].append(ok)
         out["header_sr"].append(sr)
         out["n_samples"].append(int(pcm.size))
         out["energy_ratio"].append(er)
-        out["decode_conf"].append(decode_confidence(ok, pcm))
+        out["spectral_flatness"].append(flat)
+        out["zcr"].append(zero_crossing_rate(pcm))
+        out["decode_conf"].append(decode_confidence(ok, pcm, flat))
         out["decoded_dur_ms"].append(1000.0 * pcm.size / sr if sr else 0.0)
         out["error"].append(err)
     return pd.DataFrame(out)
@@ -257,6 +304,80 @@ def decode_pcm_udf(payloads: pd.Series, codecs: pd.Series) -> pd.Series:
         except Exception:
             res.append(np.zeros(0, dtype=np.float32))
     return pd.Series(res)
+
+
+HEADER_PROBE_SCHEMA = StructType(
+    [
+        StructField("hdr_ok", BooleanType()),
+        StructField("hdr_sr", IntegerType()),
+        StructField("hdr_conf", DoubleType()),
+    ]
+)
+
+
+def _probe_header(buf) -> tuple[bool, int, float]:
+    """Cheap tier ('superfast' mode analog, confidence_check.py:264-326):
+    container sniff + header parse only — no PCM decode, O(1) per payload."""
+    if buf is None or len(buf) == 0:
+        return False, 0, 0.0
+    b = bytes(buf[:64])
+    if b[:4] == _FAKE_FLAC_MAGIC and len(b) >= 12:
+        (sr,) = struct.unpack_from("<I", b, 4)
+        return True, int(sr), 50.0
+    if len(b) >= 36 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt ":
+        (sr,) = struct.unpack_from("<I", b, 24)
+        return True, int(sr), 50.0
+    return False, 0, 0.0
+
+
+@F.pandas_udf(HEADER_PROBE_SCHEMA)
+def header_probe_udf(payloads: pd.Series) -> pd.DataFrame:
+    rows = [_probe_header(b) for b in payloads]
+    return pd.DataFrame(rows, columns=["hdr_ok", "hdr_sr", "hdr_conf"])
+
+
+def with_escalated_confidence(
+    df,
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    escalate_below: float = 15.0,
+):
+    """Conditional escalation (the reference's 'balanced' mode early-exit,
+    confidence_check.py:369-372, and adaptive re-extraction,
+    document_segmentation.py:539-548): run the cheap header probe on every
+    row, then run the EXPENSIVE full-decode UDF only on rows whose cheap
+    confidence is below ``escalate_below`` — filter → expensive → union, so
+    the expensive Python worker never sees the passing majority.
+
+    Adds: conf_tier ('cheap'|'escalated'), decode_conf, and the header fields.
+    """
+    probed = df.withColumn("_p", header_probe_udf(F.col(payload_col)))
+    probed = (
+        probed.withColumn("hdr_ok", F.col("_p.hdr_ok"))
+        .withColumn("hdr_sr", F.col("_p.hdr_sr"))
+        .withColumn("hdr_conf", F.col("_p.hdr_conf"))
+        .drop("_p")
+    )
+    cheap_pass = probed.filter(
+        F.col("hdr_ok") & (F.col("hdr_conf") >= F.lit(escalate_below))
+    ).withColumns(
+        {
+            "decode_conf": F.col("hdr_conf"),
+            "conf_tier": F.lit("cheap"),
+        }
+    ).drop(payload_col)
+    needs_more = probed.filter(
+        ~(F.col("hdr_ok") & (F.col("hdr_conf") >= F.lit(escalate_below)))
+    )
+    escalated = (
+        needs_more.withColumn(
+            "_m", audio_metrics_udf(F.col(payload_col), F.col(codec_col))
+        )
+        .withColumn("decode_conf", F.col("_m.decode_conf"))
+        .withColumn("conf_tier", F.lit("escalated"))
+        .drop("_m", payload_col)
+    )
+    return cheap_pass.unionByName(escalated)
 
 
 def with_audio_metrics(df, payload_col: str = "bytes", codec_col: str = "codec"):

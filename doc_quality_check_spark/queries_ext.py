@@ -683,6 +683,39 @@ FROM j
 """
 
 
+KW_LIST = sorted(
+    {k for cats in TYPE_CATALOGS.values() for ks in cats.values() for k in ks}
+)
+
+
+def q_keyword_freq(spark, sf):
+    """A7 cross-row keyword frequency (identity_detection.py:261-327): which
+    catalog keywords appear in how many docs, with the sorted member set —
+    explode → filter → one groupBy with count + collect_set."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("kw"),
+    ).filter(F.col("kw").isin(KW_LIST))
+    return toks.groupBy("kw").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.array_join(
+            F.sort_array(F.collect_set(F.col("doc_id").cast("string"))), ","
+        ).alias("docs"),
+    )
+
+
+SQL_KEYWORD_FREQ = f"""
+SELECT kw, count(DISTINCT doc_id) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT CAST(doc_id AS VARCHAR))), ',') AS docs
+FROM (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS kw
+      FROM documents)
+WHERE kw IN ({', '.join(f"'{k}'" for k in KW_LIST)})
+GROUP BY kw
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fan-out + grouped repair
 # ---------------------------------------------------------------------------
@@ -789,6 +822,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_classification": q_margin_classification,
     "confidence_formula": q_confidence_formula,
     "freq_boost": q_freq_boost,
+    "keyword_freq": q_keyword_freq,
     "chunk_fanout": q_chunk_fanout,
     "pair_repair": q_pair_repair,
     "completeness_profile": q_completeness_profile,
@@ -815,6 +849,7 @@ ORACLES_EXT: dict[str, str] = {
     "margin_classification": _margin_sql(),
     "confidence_formula": _confidence_sql(),
     "freq_boost": SQL_FREQ_BOOST,
+    "keyword_freq": SQL_KEYWORD_FREQ,
     "chunk_fanout": SQL_CHUNK_FANOUT,
     "pair_repair": SQL_PAIR_REPAIR,
     "completeness_profile": SQL_COMPLETENESS_PROFILE,

@@ -1,0 +1,79 @@
+"""Incremental / continuous validation via Structured Streaming.
+
+The reference is strictly batch (SURVEY.md §2.11: no watermarks, no event
+time; its only 'incremental' state is the report-folder counter,
+/root/reference/test_readability.py:969-971). The engine therefore treats
+streaming as *resumable micro-batch validation*: new clip files appearing
+under a directory (the sandbox analog of new Iceberg snapshots / appended
+data files) are picked up by a file-source stream and validated with the SAME
+``SuiteRunner`` inside ``foreachBatch`` — one code path for batch and
+streaming, which is exactly how a production job would tail an Iceberg table
+(``spark.readStream.format("iceberg")``).
+
+Each micro-batch appends:
+- ``verdicts/``   per-partition verdict rows (+ batch_id)
+- ``violations/`` (clip_id, constraint_id) rows (+ batch_id)
+and Structured Streaming's own checkpoint dir provides exactly-once file
+tracking — the streaming twin of the engine's run manifest (suite/manifest.py).
+
+Scale note: ``maxFilesPerTrigger`` bounds micro-batch size so decode UDF
+memory stays flat; watermarking is unnecessary because validation is
+row-local (no event-time aggregation in the suite's row checks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from doc_quality_check_spark.suite.runner import SuiteRunner
+from doc_quality_check_spark.suite.spec import CheckSuite
+
+CLIPS_SCHEMA_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, category string, part_key string"
+)
+
+
+def stream_validate(
+    spark: SparkSession,
+    suite: CheckSuite,
+    input_dir: str,
+    output_dir: str,
+    schema_ddl: str = CLIPS_SCHEMA_DDL,
+    max_files_per_trigger: int = 4,
+    payload: bool = True,
+):
+    """Start (availableNow) a file-source validation stream: every new
+    parquet file under ``input_dir`` is validated and its verdict/violation
+    rows appended under ``output_dir``. Returns the StreamingQuery; callers
+    ``awaitTermination()``. Restarting with the same checkpoint resumes from
+    unprocessed files only."""
+    runner = SuiteRunner(suite)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = runner.run(batch_df, payload=payload)
+        res.verdicts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(output_dir, "verdicts"))
+        res.violations.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(os.path.join(output_dir, "violations"))
+        res.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

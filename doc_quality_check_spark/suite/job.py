@@ -1,0 +1,138 @@
+"""ValidationJob — the deployable unit: suite + manifest + reports.
+
+The Spark translation of the reference CLI's full lifecycle
+(/root/reference/test_readability.py:887-1044: scan → per-file checks →
+report folder with auto-increment run id → HTML/TXT reports → console
+summary), extended with the north rule's checkpoint/resume semantics:
+
+1. start a manifest run (auto-increment id, input lineage, constraint
+   versions — suite/manifest.py);
+2. skip partitions the latest complete-or-crashed run already validated
+   (resume = anti-join on the manifest's completed partition set, which
+   partition-prunes because part_key is the table's partition column);
+3. run the SuiteRunner; record per-partition verdict metrics back into the
+   manifest as they materialize;
+4. write violation rows + verdict rows as parquet result tables and render
+   the TXT/HTML/JSON reports with the reference's report_<id>_<ts> naming.
+
+Deployment: ``spark-submit --py-files dqcs.zip -m doc_quality_check_spark.suite.job
+<clips_path> <out_dir>`` — see __main__ at the bottom.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from doc_quality_check_spark.suite.manifest import ManifestStore, RunManifest
+from doc_quality_check_spark.suite.report import (
+    export_json,
+    render_html,
+    render_txt,
+    write_report,
+)
+from doc_quality_check_spark.suite.runner import RunResult, SuiteRunner
+from doc_quality_check_spark.suite.spec import CheckSuite, default_suite
+
+
+@dataclass
+class JobResult:
+    manifest: RunManifest
+    result: RunResult
+    report_paths: dict[str, str]
+
+
+class ValidationJob:
+    def __init__(self, suite: CheckSuite, out_dir: str):
+        self.suite = suite
+        self.out_dir = out_dir
+        self.manifests = ManifestStore(os.path.join(out_dir, "manifests"))
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        clips: DataFrame,
+        catalog: DataFrame | None = None,
+        baseline: DataFrame | None = None,
+        payload: bool = True,
+        resume: bool = True,
+        input_files: list[str] | None = None,
+        formats: tuple[str, ...] = ("txt", "html", "json"),
+    ) -> JobResult:
+        # checks whose reference inputs are absent are pruned (never crash a
+        # run for a missing side-table; the verdict simply isn't produced)
+        effective = [
+            c for c in self.suite.checks
+            if not (c.kind == "referential" and catalog is None)
+            and not (c.kind in ("drift_psi", "drift_ks") and baseline is None)
+        ]
+        if len(effective) != len(self.suite.checks):
+            self.suite = CheckSuite(
+                name=self.suite.name, checks=effective,
+                partition_by=self.suite.partition_by, settings=self.suite.settings,
+            )
+
+        completed: list[str] = []
+        if resume:
+            prev = self.manifests.latest()
+            if prev is not None and prev.status != "complete":
+                completed = self.manifests.completed_partitions(prev)
+        m = self.manifests.start_run(self.suite, input_files=input_files)
+        if completed:
+            m.input_lineage["resumed_from_partitions"] = sorted(completed)
+            self.manifests.save(m)
+
+        runner = SuiteRunner(self.suite)
+        res = runner.run(
+            clips,
+            catalog=catalog,
+            baseline=baseline,
+            payload=payload,
+            completed_partitions=completed or None,
+        )
+
+        # materialize result tables (violations first: triggers the cached
+        # metrics pass), then record per-partition metrics in the manifest
+        viol_path = os.path.join(self.out_dir, f"run_{m.run_id:06d}", "violations")
+        verd_path = os.path.join(self.out_dir, f"run_{m.run_id:06d}", "verdicts")
+        res.violations.write.mode("overwrite").parquet(viol_path)
+        verdict_rows = [r.asDict() for r in res.verdicts.collect()]
+        res.verdicts.write.mode("overwrite").parquet(verd_path)
+        self.manifests.record_partitions(m, verdict_rows)
+
+        ts = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
+        paths = {}
+        rep_dir = os.path.join(self.out_dir, "reports")
+        for fmt in formats:
+            if fmt == "txt":
+                content = render_txt(res.verdicts, res.summary, res.violations,
+                                     self.suite.name, m.run_id)
+            elif fmt == "html":
+                content = render_html(res.verdicts, res.summary, res.violations,
+                                      self.suite.name, m.run_id)
+            else:
+                content = export_json(res.verdicts, res.summary,
+                                      self.suite.name, m.run_id)
+            paths[fmt] = write_report(rep_dir, fmt, content, m.run_id, ts)
+
+        self.manifests.finish_run(m, "complete")
+        return JobResult(manifest=m, result=res, report_paths=paths)
+
+
+def main(argv: list[str]) -> None:
+    """spark-submit entry: validate a clips table with the default suite."""
+    clips_path, out_dir = argv[0], argv[1]
+    spark = SparkSession.builder.appName("dqcs-validate").getOrCreate()
+    clips = spark.read.parquet(clips_path)
+    job = ValidationJob(default_suite(), out_dir)
+    jr = job.run(clips, payload=True, input_files=[clips_path])
+    print(f"run {jr.manifest.run_id} complete; reports: {jr.report_paths}")
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])

@@ -42,6 +42,9 @@ from doc_quality_check_spark.suite.spec import Check, CheckSuite
 
 GLOBAL_PART = "__global__"
 
+# table-check kinds that lower to scalar aggregates — fused into one agg job
+_SIMPLE_AGG_KINDS = {"completeness_min", "row_count_min", "distinct_range", "quantile_range"}
+
 VERDICT_COLS = ["part_key", "constraint_id", "n_rows", "n_violations", "passed", "metric_value"]
 
 VERDICT_SCHEMA = StructType(
@@ -105,12 +108,37 @@ class SuiteRunner:
         viols = row_violations(df, row_checks, id_col=id_col)
         verdicts = self._partition_verdicts(df, row_checks, part_cols)
 
+        table_checks = suite.table_checks()
         table_verdict_rows: list[tuple] = []
-        for check in suite.table_checks():
-            v, extra_viols = self._run_table_check(df, check, catalog, baseline)
-            table_verdict_rows.append(v)
-            if extra_viols is not None:
-                viols = viols.unionByName(extra_viols)
+        if table_checks:
+            # materialize the decode/row-check cache ONCE (a single barrier
+            # job), then evaluate table checks CONCURRENTLY — each is a small
+            # independent Spark job, and serializing them is pure Amdahl loss
+            # on a warm cache. Scalar aggregates are fused into one job first.
+            df.count()
+            simple = [c for c in table_checks if c.kind in _SIMPLE_AGG_KINDS]
+            complex_ = [c for c in table_checks if c.kind not in _SIMPLE_AGG_KINDS]
+            results: dict[str, tuple] = {}
+            extras: dict[str, DataFrame] = {}
+            if simple:
+                for cid, v in self._run_simple_aggs(df, simple).items():
+                    results[cid] = v
+            if complex_:
+                from concurrent.futures import ThreadPoolExecutor
+
+                def run_one(check):
+                    return check.constraint_id, self._run_table_check(
+                        df, check, catalog, baseline)
+
+                with ThreadPoolExecutor(max_workers=min(4, len(complex_))) as ex:
+                    for cid, (v, extra) in ex.map(run_one, complex_):
+                        results[cid] = v
+                        if extra is not None:
+                            extras[cid] = extra
+            for check in table_checks:  # preserve suite order
+                table_verdict_rows.append(results[check.constraint_id])
+                if check.constraint_id in extras:
+                    viols = viols.unionByName(extras[check.constraint_id])
 
         if table_verdict_rows:
             spark = df.sparkSession
@@ -160,6 +188,41 @@ class SuiteRunner:
         )
 
     # ------------------------------------------------------------------
+    def _run_simple_aggs(self, df, checks: list[Check]) -> dict[str, tuple]:
+        """Fuse every scalar-aggregate table check (completeness, row count,
+        distinct range, quantile range) into ONE agg job — the suite
+        planner's 'fuse same-granularity aggregates' rule (SURVEY.md §4.5)."""
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in checks:
+            cid = c.constraint_id
+            if c.kind == "completeness_min":
+                aggs.append(F.try_divide(F.count(c.column), F.count(F.lit(1))).alias(cid))
+            elif c.kind == "row_count_min":
+                aggs.append(F.count(F.lit(1)).cast("double").alias(cid))
+            elif c.kind == "distinct_range":
+                aggs.append(F.approx_count_distinct(c.column).cast("double").alias(cid))
+            elif c.kind == "quantile_range":
+                q = float(c.params.get("q", 0.5))
+                aggs.append(F.expr(f"percentile_approx({c.column}, {q})").cast("double").alias(cid))
+        row = df.agg(*aggs).first()
+        n_rows = int(row["__n"])
+        out = {}
+        for c in checks:
+            cid, p = c.constraint_id, c.params
+            metric = float(row[cid]) if row[cid] is not None else (
+                1.0 if c.kind == "completeness_min" else 0.0)
+            if c.kind == "completeness_min":
+                passed = metric >= float(p.get("min_ratio", 1.0))
+            elif c.kind == "row_count_min":
+                passed = metric >= int(p["min_rows"])
+            elif c.kind == "distinct_range":
+                passed = p.get("min", 0) <= metric <= p.get("max", float("inf"))
+            else:
+                passed = p.get("min", float("-inf")) <= metric <= p.get("max", float("inf"))
+            out[cid] = (GLOBAL_PART, cid, n_rows if c.kind == "completeness_min" else None,
+                        0, bool(passed), metric)
+        return out
+
     def _run_table_check(self, df, check: Check, catalog, baseline):
         """Evaluate one table-level check eagerly (each is a tiny aggregate).
         Returns (verdict_row, extra_violations_df|None)."""

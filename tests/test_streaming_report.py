@@ -1,0 +1,143 @@
+"""Streaming incremental validation, report sinks, media stubs, escalation."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.functions.audio import with_escalated_confidence
+from doc_quality_check_spark.functions.media import (
+    encode_fake_image,
+    image_metrics,
+    video_frame_sample,
+)
+from doc_quality_check_spark.sources.clips import load_clips
+from doc_quality_check_spark.streaming.incremental import stream_validate
+from doc_quality_check_spark.suite.report import (
+    export_json,
+    render_html,
+    render_txt,
+    write_report,
+)
+from doc_quality_check_spark.suite.runner import SuiteRunner
+from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+
+def _meta_suite() -> CheckSuite:
+    return CheckSuite(
+        name="stream_meta",
+        partition_by=["part_key"],
+        checks=[
+            Check("clip_id_not_null", "not_null", "clip_id", priority=1),
+            Check("dur_range", "in_range", "dur_ms", {"min": 1, "max": 120000}, priority=2),
+        ],
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory, spark, clips_dir):
+    base = tmp_path_factory.mktemp("stream")
+    inp, out = str(base / "in"), str(base / "out")
+    os.makedirs(inp)
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(400)
+    # two separate input files → at least two micro-batch file units
+    clips.filter(F.col("dur_ms") % 2 == 0).write.mode("overwrite").parquet(inp + "/a")
+    clips.filter(F.col("dur_ms") % 2 == 1).write.mode("overwrite").parquet(inp + "/b")
+    # flatten: move part files up (file source needs a flat glob)
+    flat = str(base / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(glob.glob(inp + "/*/part-*.parquet")):
+        shutil.copy(f, os.path.join(flat, f"clips_{i}.parquet"))
+    return flat, out
+
+
+def test_stream_validate_appends_results(spark, stream_dirs):
+    flat, out = stream_dirs
+    suite = _meta_suite()
+    from doc_quality_check_spark.streaming.incremental import CLIPS_SCHEMA_DDL
+
+    schema = ("clip_id string, sr_hz int, dur_ms int, codec string, "
+              "transcript string, category string, part_key string")
+    q = stream_validate(spark, suite, flat, out, schema_ddl=schema,
+                        payload=False, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    verdicts = spark.read.parquet(out + "/verdicts")
+    assert verdicts.count() > 0
+    assert verdicts.select("batch_id").distinct().count() >= 2
+    # restart with same checkpoint: no new data → no growth
+    n0 = verdicts.count()
+    q2 = stream_validate(spark, suite, flat, out, schema_ddl=schema,
+                         payload=False)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out + "/verdicts").count() == n0
+
+
+@pytest.fixture(scope="module")
+def run_result(spark, clips_dir):
+    clips = load_clips(spark, clips_dir).limit(600)
+    return SuiteRunner(_meta_suite()).run(clips, payload=False)
+
+
+def test_report_renderers(run_result, tmp_path):
+    txt = render_txt(run_result.verdicts, run_result.summary,
+                     run_result.violations, "s1", 7)
+    assert "VALIDATION REPORT" in txt and "clip_id_not_null" in txt
+    html = render_html(run_result.verdicts, run_result.summary,
+                       run_result.violations, "s1", 7)
+    assert "<table" in html and "dur_range" in html
+    js = export_json(run_result.verdicts, run_result.summary, "s1", 7)
+    import json
+
+    doc = json.loads(js)
+    assert doc["run_id"] == 7 and doc["verdicts"]
+    p = write_report(str(tmp_path), "txt", txt, 7, "20260101_000000")
+    assert os.path.exists(p) and p.endswith("report_7_20260101_000000.txt")
+
+
+def test_image_metrics_plumbing(spark):
+    rows = [
+        ("img_ok", encode_fake_image(1, 16, 8)),
+        ("img_trunc", encode_fake_image(2, 64, 64)[:100]),
+        ("img_png", b"\x89PNG\r\n\x1a\nrest"),
+        ("img_empty", b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {r["media_id"]: r.asDict() for r in image_metrics(df).collect()}
+    assert got["img_ok"]["decode_ok"] and got["img_ok"]["width"] == 16
+    assert 0.0 <= got["img_ok"]["ink_ratio"] <= 1.0
+    assert not got["img_trunc"]["decode_ok"] and "truncated" in got["img_trunc"]["error"]
+    assert not got["img_png"]["decode_ok"] and got["img_png"]["error"].startswith("stub:")
+    assert got["img_empty"]["decode_ok"] and got["img_empty"]["width"] == 0
+
+
+def test_video_frame_sample_fanout(spark):
+    df = spark.createDataFrame(
+        [("v1", b"xx", 3500), ("v2", b"yy", 0)],
+        "media_id string, bytes binary, dur_ms int",
+    )
+    rows = video_frame_sample(df, every_ms=1000).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert len(per["v1"]) == 3
+    assert len(per["v2"]) == 1  # never-zero-segments
+    assert all(not r["decode_ok"] for r in rows)
+
+
+def test_escalated_confidence_consistency(spark, clips_dir):
+    """Escalation must agree with the full pass on which clips are
+    low-confidence, and must not escalate healthy clips."""
+    clips = load_clips(spark, clips_dir).limit(400).cache()
+    esc = with_escalated_confidence(clips, escalate_below=15.0).cache()
+    assert esc.count() == 400
+    tiers = {r["conf_tier"] for r in esc.select("conf_tier").distinct().collect()}
+    assert tiers == {"cheap", "escalated"}
+    # cheap-tier rows all parsed headers; escalated rows are the suspect set
+    bad = esc.filter((F.col("conf_tier") == "escalated") & (F.col("decode_conf") >= 15.0))
+    # escalated rows may recover (silent-but-decodable etc.) — just assert
+    # every corrupt clip landed in the escalated tier
+    corrupt = clips.filter(F.col("category") == "corrupt").select("clip_id")
+    esc_ids = esc.filter(F.col("conf_tier") == "escalated").select("clip_id")
+    assert corrupt.join(esc_ids, "clip_id", "left_anti").count() == 0

@@ -1,0 +1,100 @@
+"""Plan audit: .explain-based assertions that the headline queries produce
+the physical plans the engine is designed around (SURVEY.md §4):
+
+- parquet scans PRUNE columns (a projection must not read unrelated columns —
+  in particular nothing but the payload path may read `bytes`);
+- filters are PUSHED into the scan (PushedFilters non-empty where expected);
+- catalog joins BROADCAST (no sort-merge for small dims);
+- non-UDF expression pipelines run inside WholeStageCodegen.
+
+Run: python tools/explain_audit.py   (prints one PASS/FAIL line per audit)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from doc_quality_check_spark.queries import QUERIES
+    from doc_quality_check_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = []
+
+    def audit(name: str, ok: bool, detail: str = "") -> None:
+        print(f"  {'PASS' if ok else 'FAIL'}  {name}  {detail}")
+        if not ok:
+            failures.append(name)
+
+    # 1. column pruning: group_stats must scan only the 4 lineitem columns
+    p = plan_of(QUERIES["group_stats"](spark, SF))
+    read = p.split("ReadSchema: ")[-1].split("\n")[0] if "ReadSchema: " in p else ""
+    audit("group_stats column pruning",
+          "l_comment" not in read and "l_shipdate" not in read and "l_quantity" in read,
+          read[:120])
+
+    # 2. predicate pushdown: semi_join's BUILDING filter reaches the scan
+    p = plan_of(QUERIES["semi_join"](spark, SF))
+    audit("semi_join filter pushdown", "PushedFilters: [" in p and "c_mktsegment" in p)
+
+    # 3. broadcast: semi_join + referential_anti use broadcast joins
+    audit("semi_join broadcast", "BroadcastHashJoin" in p and "LeftSemi" in p)
+    p = plan_of(QUERIES["referential_anti"](spark, SF))
+    audit("referential_anti broadcast anti-join",
+          "BroadcastHashJoin" in p and "LeftAnti" in p)
+
+    # 4. codegen: verdict projection is one WholeStageCodegen over the scan
+    p = plan_of(QUERIES["verdict_projection"](spark, SF))
+    audit("verdict_projection codegen",
+          ("WholeStageCodegen" in p or "*(1)" in p) and "EvalPython" not in p)
+
+    # 5. bytes pruning: a metadata-only suite never reads the payload column
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    from doc_quality_check_spark.sources.clips import generate_clips, load_clips
+    clips_dir = generate_clips(os.path.join(REPO, ".data", "clips_test"),
+                               n_rows=2400, seed=42)
+    clips = load_clips(spark, clips_dir)
+    meta_suite = CheckSuite(
+        name="meta", partition_by=["part_key"],
+        checks=[Check("sr_domain", "isin", "sr_hz", {"values": [8000, 16000]})],
+    )
+    res = SuiteRunner(meta_suite).run(clips, payload=False)
+    p = plan_of(res.verdicts)
+    read = p.split("ReadSchema: ")[-1].split("\n")[0] if "ReadSchema: " in p else p
+    audit("metadata-only suite prunes bytes", "bytes" not in read, read[:120])
+    res.unpersist()
+
+    # 6. dedup jaccard: the shingle equi-join must be a hash join with
+    #    map-side partial aggregation (no cartesian / nested loop)
+    p = plan_of(QUERIES["dedup_jaccard"](spark, SF))
+    audit("dedup_jaccard no cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    audit("dedup_jaccard partial agg", "partial_count" in p or "HashAggregate" in p)
+
+    # 7. cosine_topk: corpus side never shuffles (broadcast of queries only)
+    p = plan_of(QUERIES["cosine_topk"](spark, SF))
+    audit("cosine_topk broadcasts queries", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+
+    print("FAILURES:" if failures else "all plan audits pass", failures or "")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
