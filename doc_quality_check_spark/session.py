@@ -65,6 +65,9 @@ def get_spark(
         # local[32]); generous direct-memory ceiling for the same reason.
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "8m")
         .config("spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=32g")
+        # local-mode-only decode concurrency cap (see functions/audio.py
+        # with_audio_metrics); a real cluster bounds this per executor instead
+        .config("spark.doc_quality_check.decode.maxTasks", "12")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
