@@ -683,6 +683,62 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# Frame-spec windows (rowsBetween) — the engine's KS cumulative-sum machinery
+# generalized to per-entity running stats
+# ---------------------------------------------------------------------------
+
+def q_moving_avg(spark, sf):
+    """3-row trailing moving average per user (deterministic ts+id order)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mov_avg")
+    )
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events
+"""
+
+
+def q_cumulative_share(spark, sf):
+    """Running share of a group's total — the KS-statistic CDF window shape
+    (operators/aggregates.py drift_ks) exposed as a query."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.sum("value").over(w) / F.sum("value").over(tot), 6).alias("cum_share"),
+    )
+
+
+SQL_CUM_SHARE = """
+SELECT event_id, event_type,
+       round(sum(value) OVER (PARTITION BY event_type ORDER BY event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / sum(value) OVER (PARTITION BY event_type), 6) AS cum_share
+FROM events
+"""
+
+
 KW_LIST = sorted(
     {k for cats in TYPE_CATALOGS.values() for ks in cats.values() for k in ks}
 )
@@ -822,6 +878,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_classification": q_margin_classification,
     "confidence_formula": q_confidence_formula,
     "freq_boost": q_freq_boost,
+    "moving_avg": q_moving_avg,
+    "cumulative_share": q_cumulative_share,
     "keyword_freq": q_keyword_freq,
     "chunk_fanout": q_chunk_fanout,
     "pair_repair": q_pair_repair,
@@ -849,6 +907,8 @@ ORACLES_EXT: dict[str, str] = {
     "margin_classification": _margin_sql(),
     "confidence_formula": _confidence_sql(),
     "freq_boost": SQL_FREQ_BOOST,
+    "moving_avg": SQL_MOVING_AVG,
+    "cumulative_share": SQL_CUM_SHARE,
     "keyword_freq": SQL_KEYWORD_FREQ,
     "chunk_fanout": SQL_CHUNK_FANOUT,
     "pair_repair": SQL_PAIR_REPAIR,

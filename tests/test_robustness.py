@@ -1,0 +1,142 @@
+"""Robustness: empty inputs (ANSI div-by-zero guards), sketch error bounds,
+threshold-sweep monotonicity, hypothesis-based codec roundtrips, AQE skew."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.functions.audio import (
+    decode_payload,
+    synth_clip_bytes,
+    synth_pcm,
+)
+from doc_quality_check_spark.sources.clips import load_clips
+from doc_quality_check_spark.suite.runner import SuiteRunner
+from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+
+def test_suite_on_empty_input(spark, clips_dir):
+    """A zero-row partition/table must produce verdicts, not crash (ANSI
+    division guards — try_divide everywhere a denominator can be 0)."""
+    clips = load_clips(spark, clips_dir).limit(0)
+    suite = CheckSuite(
+        name="empty", partition_by=["part_key"],
+        checks=[
+            Check("nn", "not_null", "clip_id", priority=1),
+            Check("uni", "unique", "clip_id"),
+            Check("comp", "completeness_min", "transcript", {"min_ratio": 0.9}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, payload=True)
+    assert res.violations.count() == 0
+    verdicts = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert verdicts["uni"]["passed"] is True
+    assert verdicts["comp"]["passed"] is True  # vacuous completeness passes
+    assert res.summary.first()["n_rows"] == 0
+    res.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# codec roundtrip invariants (per-row invariant: decoded-PCM allclose at
+# SNR>=30dB — BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+def _snr_db(ref: np.ndarray, dec: np.ndarray) -> float:
+    n = min(ref.size, dec.size)
+    err = ref[:n].astype(np.float64) - dec[:n].astype(np.float64)
+    p_sig = float(np.mean(ref[:n].astype(np.float64) ** 2)) + 1e-20
+    p_err = float(np.mean(err**2)) + 1e-20
+    return 10.0 * np.log10(p_sig / p_err)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    sr=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    dur=st.integers(20, 800),
+    codec=st.sampled_from(["pcm_s16le", "pcm_u8", "flac"]),
+)
+def test_codec_roundtrip_snr(seed, sr, dur, codec):
+    pcm = synth_pcm(seed, sr, dur)
+    raw = synth_clip_bytes(seed, sr, dur, codec)
+    got_sr, dec = decode_payload(raw, codec)
+    assert got_sr == sr
+    assert dec.size == pcm.size
+    min_snr = 30.0 if codec != "pcm_u8" else 20.0  # 8-bit floor ~48dB SNR on
+    # full-scale; low-amplitude mixtures can dip — still far above noise
+    assert _snr_db(pcm, dec) >= min_snr
+
+
+@settings(max_examples=20, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64))
+def test_decode_never_crashes_on_junk(junk):
+    """Arbitrary bytes either decode or raise ValueError — no other failure
+    mode (the UDF converts ValueError into in-band error rows)."""
+    try:
+        sr, pcm = decode_payload(junk, "pcm_s16le")
+        assert sr >= 0 and pcm.ndim == 1
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# sketch error bounds + sweep monotonicity (SURVEY.md §5 sweep tests)
+# ---------------------------------------------------------------------------
+
+def test_approx_sketches_within_bounds(spark, sf01_dir):
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("ad"),
+        F.countDistinct("l_orderkey").alias("ed"),
+        F.expr("percentile_approx(l_extendedprice, 0.5)").alias("aq"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("eq"),
+    ).first()
+    assert abs(row["ad"] - row["ed"]) / row["ed"] < 0.05   # HLL default ~2%
+    assert abs(row["aq"] - row["eq"]) / row["eq"] < 0.02   # quantile sketch
+
+
+def test_threshold_sweep_monotone(spark, sf01_dir):
+    from doc_quality_check_spark.operators.aggregates import threshold_sweep
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    ts = [5.0, 10.0, 15.0, 20.0, 30.0, 50.0]
+    row = threshold_sweep(ev, "value", ts).first()
+    counts = [row[f"ge_{str(t).replace('.', '_')}"] for t in ts]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] <= row["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join handling on the fixtures' hot key
+# ---------------------------------------------------------------------------
+
+def test_aqe_skew_join_splits_hot_partition(spark, clips_dir):
+    """The fixture's hot duplicate clip_id (~0.5% of all rows on ONE key)
+    joined without broadcast triggers AQE's skew-join split."""
+    clips = load_clips(spark, clips_dir).select("clip_id", "dur_ms")
+    other = load_clips(spark, clips_dir).select("clip_id", "sr_hz")
+    # thresholds scaled down to the test fixture's size so the hot partition
+    # crosses the skew bar; production relies on the defaults
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        j = clips.join(other, "clip_id")
+        rows = j.collect()  # same QueryExecution → final adaptive plan below
+        assert len(rows) > clips.count()  # hot key fans out quadratically
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, plan[:800]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
