@@ -27,6 +27,9 @@ BENCH_QUERIES = [
     "group_stats", "percentiles", "threshold_sweep", "duplicate_keys",
     "semi_join", "freq_enrich", "argmax_per_group", "topn_per_group",
     "lag_neighbor", "drift_psi",
+    # training-pipeline operators (documents/embeddings tables)
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "cosine_topk", "lang_id", "token_quality",
 ]
 
 
