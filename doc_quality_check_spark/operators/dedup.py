@@ -34,7 +34,7 @@ signatures bit-for-bit (see queries.py oracle builders).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # MinHash universal-hash family h_i(x) = (a_i * x + b_i) mod P over the 32-bit
 # token-hash domain. P is the smallest prime > 2^32; a_i < 2^20 keeps

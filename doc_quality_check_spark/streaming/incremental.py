@@ -27,7 +27,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
 
 from doc_quality_check_spark.suite.runner import SuiteRunner
 from doc_quality_check_spark.suite.spec import CheckSuite

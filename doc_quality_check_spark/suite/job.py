@@ -69,10 +69,11 @@ class ValidationJob:
             if not (c.kind == "referential" and catalog is None)
             and not (c.kind in ("drift_psi", "drift_ks") and baseline is None)
         ]
-        if len(effective) != len(self.suite.checks):
-            self.suite = CheckSuite(
-                name=self.suite.name, checks=effective,
-                partition_by=self.suite.partition_by, settings=self.suite.settings,
+        suite = self.suite
+        if len(effective) != len(suite.checks):
+            suite = CheckSuite(
+                name=suite.name, checks=effective,
+                partition_by=suite.partition_by, settings=suite.settings,
             )
 
         completed: list[str] = []
@@ -80,12 +81,12 @@ class ValidationJob:
             prev = self.manifests.latest()
             if prev is not None and prev.status != "complete":
                 completed = self.manifests.completed_partitions(prev)
-        m = self.manifests.start_run(self.suite, input_files=input_files)
+        m = self.manifests.start_run(suite, input_files=input_files)
         if completed:
             m.input_lineage["resumed_from_partitions"] = sorted(completed)
             self.manifests.save(m)
 
-        runner = SuiteRunner(self.suite)
+        runner = SuiteRunner(suite)
         res = runner.run(
             clips,
             catalog=catalog,
@@ -109,13 +110,13 @@ class ValidationJob:
         for fmt in formats:
             if fmt == "txt":
                 content = render_txt(res.verdicts, res.summary, res.violations,
-                                     self.suite.name, m.run_id)
+                                     suite.name, m.run_id)
             elif fmt == "html":
                 content = render_html(res.verdicts, res.summary, res.violations,
-                                      self.suite.name, m.run_id)
+                                      suite.name, m.run_id)
             else:
                 content = export_json(res.verdicts, res.summary,
-                                      self.suite.name, m.run_id)
+                                      suite.name, m.run_id)
             paths[fmt] = write_report(rep_dir, fmt, content, m.run_id, ts)
 
         self.manifests.finish_run(m, "complete")

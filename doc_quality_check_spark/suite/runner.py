@@ -162,8 +162,14 @@ class SuiteRunner:
     def _partition_verdicts(self, df, row_checks: list[Check], part_cols: list[str]):
         """ONE groupBy produces every (partition × constraint) verdict:
         conditional sums per check, then stack() to long form — partial
-        aggregation map-side, a single shuffle total."""
-        part = F.col(part_cols[0]) if part_cols else F.lit(GLOBAL_PART)
+        aggregation map-side, a single shuffle total. Multi-column partition
+        keys collapse into one '/'-joined part_key string."""
+        if not part_cols:
+            part = F.lit(GLOBAL_PART)
+        elif len(part_cols) == 1:
+            part = F.col(part_cols[0]).cast("string")
+        else:
+            part = F.concat_ws("/", *[F.col(c).cast("string") for c in part_cols])
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
             F.sum(F.when(~F.col(PASS_PREFIX + c.constraint_id), 1).otherwise(0))
             .alias("nv__" + c.constraint_id)

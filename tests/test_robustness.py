@@ -37,6 +37,23 @@ def test_suite_on_empty_input(spark, clips_dir):
     res.unpersist()
 
 
+def test_multi_column_partition_verdicts(spark, clips_dir):
+    """partition_by with several columns collapses into one '/'-joined
+    part_key rather than silently dropping columns."""
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(400)
+    suite = CheckSuite(
+        name="mc", partition_by=["part_key", "codec"],
+        checks=[Check("nn", "not_null", "clip_id", priority=1)],
+    )
+    res = SuiteRunner(suite).run(clips, payload=False)
+    parts = [r["part_key"] for r in res.verdicts.collect()]
+    assert any("/" in p for p in parts)
+    expected = clips.select(
+        F.concat_ws("/", "part_key", "codec").alias("pk")).distinct().count()
+    assert len(set(parts)) == expected
+    res.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # codec roundtrip invariants (per-row invariant: decoded-PCM allclose at
 # SNR>=30dB — BASELINE.json input_hint)
