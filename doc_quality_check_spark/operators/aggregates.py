@@ -66,6 +66,35 @@ def histogram(df: DataFrame, column: str, as_string: bool = True) -> DataFrame:
     return df.groupBy(b.alias("bucket")).agg(F.count("*").alias("count"))
 
 
+def snapshot_histograms(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Baseline-snapshot writer for the drift checks (A12): one pass per
+    column (unioned; each is a tiny aggregate) producing the
+    (metric, bucket, count) layout the runner's drift checks consume.
+    A run's snapshot becomes the next run's baseline — self-drift is ~0."""
+    parts = []
+    for c in columns:
+        parts.append(
+            df.groupBy(F.col(c).cast("string").alias("bucket"))
+            .agg(F.count("*").alias("count"))
+            .select(F.lit(c).alias("metric"), "bucket", "count")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def heavy_hitters(df: DataFrame, column: str, min_count: int) -> DataFrame:
+    """Exact heavy hitters: values of ``column`` with frequency >= min_count
+    (two-phase partial aggregation; the exact baseline that a count-min /
+    approx_top_k sketch approximates at 10^12 scale)."""
+    return (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )
+
+
 def drift_psi(
     current_hist: DataFrame, baseline_hist: DataFrame, epsilon: float = 1e-6
 ) -> DataFrame:
@@ -92,9 +121,14 @@ def drift_ks(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     joined = (
         cur.join(base, "bucket", "full_outer")
         .fillna(0, ["c_cnt", "b_cnt"])
-        .withColumn("bucket_num", F.col("bucket").cast("double"))
+        # try_cast: categorical buckets (codec names) order lexically instead
+        # of failing the ANSI numeric cast; KS over categories is then a
+        # deterministic max-CDF-gap under that fixed order
+        .withColumn("bucket_num", F.expr("try_cast(bucket AS double)"))
     )
-    w = Window.orderBy("bucket_num").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = Window.orderBy(
+        F.asc_nulls_first("bucket_num"), F.asc("bucket")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
     j = joined.crossJoin(F.broadcast(tot))
     cdf_c = F.try_divide(F.sum("c_cnt").over(w), F.col("ct"))

@@ -57,6 +57,32 @@ def chunk_fanout(
     )
 
 
+# ---------------------------------------------------------------------------
+# Python UDTF form of the same fan-out (Spark's table-function surface,
+# SURVEY.md §2.10): one input row → N output rows via LATERAL join. The
+# relational chunk_fanout above is the preferred (codegen'd) form; the UDTF
+# exists for fan-outs whose row expansion needs imperative Python.
+# ---------------------------------------------------------------------------
+
+def register_chunk_udtf(spark, chunk_chars: int = 100, name: str = "chunk_udtf"):
+    """Register a chunking UDTF usable as
+    ``SELECT d.doc_id, c.* FROM docs d, LATERAL chunk_udtf(d.text) c``."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, chunk_len int")
+    class ChunkEmitter:
+        def eval(self, text: str):
+            if text is None:
+                text = ""
+            n = max(-(-len(text) // chunk_chars), 1)
+            for i in range(n):
+                piece = text[i * chunk_chars : (i + 1) * chunk_chars]
+                yield i, piece, len(piece)
+
+    spark.udtf.register(name, ChunkEmitter)
+    return ChunkEmitter
+
+
 FRAME_SCHEMA = ArrayType(
     StructType(
         [

@@ -683,6 +683,42 @@ FROM j
 """
 
 
+def q_heavy_hitters(spark, sf):
+    """Exact token heavy hitters over documents (the exact baseline a
+    count-min sketch approximates at scale)."""
+    from doc_quality_check_spark.operators.aggregates import heavy_hitters
+
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    return heavy_hitters(toks, "tok", min_count=100).withColumnRenamed("value", "tok")
+
+
+SQL_HEAVY_HITTERS = """
+SELECT tok AS tok, count(*) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)
+GROUP BY tok HAVING count(*) >= 100
+"""
+
+
+def q_self_drift(spark, sf):
+    """A12 round trip: a snapshot drifted against itself is exactly zero PSI
+    and zero KS (the runner's baseline-writer path)."""
+    from doc_quality_check_spark.operators.aggregates import (
+        drift_ks, drift_psi, snapshot_histograms,
+    )
+
+    ev = t(spark, sf, "events")
+    snap = snapshot_histograms(ev, ["event_type"]).select("bucket", "count")
+    psi = drift_psi(snap, snap).select(F.round("psi", 6).alias("psi"))
+    ks = drift_ks(snap, snap).select(F.round("ks", 6).alias("ks"))
+    return psi.crossJoin(ks)
+
+
+SQL_SELF_DRIFT = """
+SELECT CAST(0.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS ks
+"""
+
+
 # ---------------------------------------------------------------------------
 # Frame-spec windows (rowsBetween) — the engine's KS cumulative-sum machinery
 # generalized to per-entity running stats
@@ -878,6 +914,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_classification": q_margin_classification,
     "confidence_formula": q_confidence_formula,
     "freq_boost": q_freq_boost,
+    "heavy_hitters": q_heavy_hitters,
+    "self_drift": q_self_drift,
     "moving_avg": q_moving_avg,
     "cumulative_share": q_cumulative_share,
     "keyword_freq": q_keyword_freq,
@@ -907,6 +945,8 @@ ORACLES_EXT: dict[str, str] = {
     "margin_classification": _margin_sql(),
     "confidence_formula": _confidence_sql(),
     "freq_boost": SQL_FREQ_BOOST,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "self_drift": SQL_SELF_DRIFT,
     "moving_avg": SQL_MOVING_AVG,
     "cumulative_share": SQL_CUM_SHARE,
     "keyword_freq": SQL_KEYWORD_FREQ,

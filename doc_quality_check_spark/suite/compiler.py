@@ -113,6 +113,11 @@ def row_violations(df, checks: list[Check], id_col: str = "clip_id"):
     the analog of the UNREADABLE/EMPTY PAGES listings
     (test_readability.py:856-879) generalized to every constraint."""
     row_checks = [c for c in checks if c.is_row_level]
+    if not row_checks:
+        return (
+            df.select(F.col(id_col).alias("clip_id"), F.lit("").alias("constraint_id"))
+            .limit(0)
+        )
     arr = F.array_compact(
         F.array(*[
             F.when(~F.col(PASS_PREFIX + c.constraint_id), F.lit(c.constraint_id))

@@ -164,6 +164,8 @@ class SuiteRunner:
         conditional sums per check, then stack() to long form — partial
         aggregation map-side, a single shuffle total. Multi-column partition
         keys collapse into one '/'-joined part_key string."""
+        if not row_checks:
+            return df.sparkSession.createDataFrame([], VERDICT_SCHEMA)
         if not part_cols:
             part = F.lit(GLOBAL_PART)
         elif len(part_cols) == 1:

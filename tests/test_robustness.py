@@ -37,6 +37,29 @@ def test_suite_on_empty_input(spark, clips_dir):
     res.unpersist()
 
 
+def test_drift_snapshot_roundtrip(spark, clips_dir):
+    """A12 lifecycle: snapshot_histograms of run N is run N+1's baseline;
+    unchanged data → zero drift → the drift check passes."""
+    from doc_quality_check_spark.operators.aggregates import snapshot_histograms
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(800)
+    snap = snapshot_histograms(clips, ["sr_hz", "codec"])
+    suite = CheckSuite(
+        name="drift_rt", partition_by=["part_key"],
+        checks=[
+            Check("sr_drift", "drift_psi", "sr_hz",
+                  {"baseline_table": "snap", "max_psi": 0.01}),
+            Check("codec_drift", "drift_ks", "codec",
+                  {"baseline_table": "snap", "max_ks": 0.001}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, baseline=snap, payload=False)
+    verdicts = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert verdicts["sr_drift"]["passed"] and verdicts["sr_drift"]["metric_value"] < 1e-9
+    assert verdicts["codec_drift"]["passed"] and verdicts["codec_drift"]["metric_value"] < 1e-9
+    res.unpersist()
+
+
 def test_multi_column_partition_verdicts(spark, clips_dir):
     """partition_by with several columns collapses into one '/'-joined
     part_key rather than silently dropping columns."""

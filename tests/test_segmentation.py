@@ -26,6 +26,26 @@ def test_chunk_fanout_covers_text(spark, sf01_dir):
         assert r["n"] == max(-(-r["len"] // 100), 1)
 
 
+def test_chunk_udtf_matches_relational_fanout(spark, sf01_dir):
+    """The UDTF lateral-join form produces exactly the relational
+    chunk_fanout rows."""
+    from doc_quality_check_spark.operators.segmentation import register_chunk_udtf
+
+    register_chunk_udtf(spark, chunk_chars=100)
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(40)
+    d.createOrReplaceTempView("docs_udtf_test")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.chunk_len "
+        "FROM docs_udtf_test d, LATERAL chunk_udtf(d.text) c"
+    )
+    via_rel = chunk_fanout(d, "doc_id", "text", chunk_chars=100).select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_len"
+    )
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_rel.collect()))
+    assert a == b
+
+
 def test_clip_frames_fanout(spark, clips_dir):
     clips = load_clips(spark, clips_dir).filter(F.col("category") == "valid").limit(20)
     frames = clip_frames(clips, frame_ms=200).cache()
