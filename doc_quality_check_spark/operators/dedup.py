@@ -58,6 +58,15 @@ def token_hash_expr(col: str) -> str:
     return f"CAST(conv(substr(md5({col}), 1, 8), 16, 10) AS BIGINT)"
 
 
+def shingle_hash60_expr(col: str) -> str:
+    """60-bit deterministic shingle hash (15 md5 hex digits) — the join key
+    for the inverted-index Jaccard join: an 8-byte shuffle key instead of a
+    ~20-char string; collision probability over ~10^5 distinct shingles is
+    ~1e-9, and the DuckDB oracle hashes identically so any collision affects
+    both sides equally."""
+    return f"CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def shingle_col(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column as array<string>.
     Whitespace tokenization; empty array when fewer than n tokens."""
@@ -70,11 +79,20 @@ def shingle_col(text_col: str, n: int = 3) -> F.Column:
     )
 
 
-def exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows — the inverted-index fact table for all dedup ops."""
-    return df.select(
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hashed: bool = False
+) -> DataFrame:
+    """(id, shingle) rows — the inverted-index fact table for all dedup ops.
+    ``hashed=True`` replaces the shingle string with its 60-bit hash (compact
+    join/shuffle key for the pairwise operators)."""
+    out = df.select(
         F.col(id_col), F.explode(shingle_col(text_col, n)).alias("shingle")
     )
+    if hashed:
+        out = out.select(
+            id_col, F.expr(shingle_hash60_expr("shingle")).alias("shingle")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +126,7 @@ def jaccard_pairs(
     """All pairs with shingle-set Jaccard >= threshold →
     (id_a, id_b, jaccard). Exact: any pair with jaccard > 0 shares a shingle,
     so the shared-shingle equi-join enumerates every candidate."""
-    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -200,7 +218,7 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
     # shared-shingle count is computed per candidate, not all-pairs
-    sh = exploded_shingles(df, id_col, text_col, n)
+    sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")

@@ -83,10 +83,13 @@ sh AS (
 )"""
 
 _JACCARD_CTE = """
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+shh AS (
+  SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT AS sh FROM sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
 shared AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
-  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  FROM shh x JOIN shh y ON x.sh = y.sh AND x.doc_id < y.doc_id
   GROUP BY 1, 2
 ),
 jac AS (
