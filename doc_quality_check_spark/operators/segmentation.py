@@ -149,6 +149,33 @@ def clip_frames(
     )
 
 
+def deoverlap_segments(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+) -> DataFrame:
+    """W2 neighbor-adjust: per group, sort segments by start and split every
+    overlap between consecutive segments at its midpoint — the reference's
+    bbox overlap fix (/root/reference/modules/document_segmentation.py:231-300:
+    sort by y, for each consecutive pair set the shared boundary to the
+    overlap midpoint), done relationally with lag/lead instead of a mutable
+    loop. Adds ``adj_start``/``adj_end``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.asc(start_col), F.asc(end_col))
+    prev_end = F.lag(end_col).over(w)
+    next_start = F.lead(start_col).over(w)
+    adj_start = F.when(
+        prev_end > F.col(start_col), (prev_end + F.col(start_col)) / 2
+    ).otherwise(F.col(start_col))
+    adj_end = F.when(
+        (next_start < F.col(end_col)) & next_start.isNotNull(),
+        (F.col(end_col) + next_start) / 2,
+    ).otherwise(F.col(end_col))
+    return df.withColumn("adj_start", adj_start).withColumn("adj_end", adj_end)
+
+
 def voiced_segments(
     frames: DataFrame,
     id_col: str = "clip_id",

@@ -75,6 +75,52 @@ def test_clip_frames_never_zero_segments(spark, clips_dir):
     assert all(r["count"] >= 1 for r in per)
 
 
+def test_deoverlap_segments(spark):
+    """W2: consecutive overlaps split at the midpoint; neighbors meet exactly
+    and no adjusted overlap remains."""
+    from doc_quality_check_spark.operators.segmentation import deoverlap_segments
+
+    rows = [
+        ("c1", 0.0, 120.0), ("c1", 100.0, 220.0), ("c1", 300.0, 400.0),
+        ("c2", 0.0, 50.0), ("c2", 50.0, 90.0),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, start_ms double, end_ms double")
+    out = {
+        (r["clip_id"], r["start_ms"]): r
+        for r in deoverlap_segments(df).collect()
+    }
+    # c1 overlap [100,120] → midpoint 110
+    assert out[("c1", 0.0)]["adj_end"] == 110.0
+    assert out[("c1", 100.0)]["adj_start"] == 110.0
+    assert out[("c1", 100.0)]["adj_end"] == 220.0   # no overlap with next
+    assert out[("c1", 300.0)]["adj_start"] == 300.0
+    # c2 touches but does not overlap → unchanged
+    assert out[("c2", 0.0)]["adj_end"] == 50.0
+    assert out[("c2", 50.0)]["adj_start"] == 50.0
+
+
+def test_count_min_sketch_bounds(spark, sf01_dir):
+    """Sketch path for heavy hitters (A10 at 10^12 scale): count_min
+    estimates never undercount and stay within eps*N of the exact counts."""
+    from doc_quality_check_spark.operators.aggregates import heavy_hitters
+
+    d = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    n_total = toks.count()
+    exact = {r["value"]: r["cnt"] for r in heavy_hitters(toks, "tok", 1).collect()}
+    eps = 0.001
+    raw = bytes(
+        toks.agg(
+            F.expr(f"count_min_sketch(tok, {eps}d, 0.99d, 42)").alias("cms")
+        ).first()["cms"]
+    )
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(raw)
+    for tok, cnt in exact.items():
+        est = cms.estimateCount(tok)
+        assert est >= cnt                      # one-sided error
+        assert est <= cnt + eps * n_total + 1  # eps*N bound
+
+
 def test_voiced_segments_merge_runs(spark, clips_dir):
     clips = load_clips(spark, clips_dir).filter(F.col("category") == "valid").limit(10)
     frames = clip_frames(clips, frame_ms=100)
