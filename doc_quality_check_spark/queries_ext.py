@@ -686,6 +686,55 @@ FROM j
 """
 
 
+def q_sessionize(spark, sf):
+    """Gaps-and-islands sessionization: a new session starts when a user's
+    inter-event gap exceeds 30 minutes; per-session stats. The W-series
+    run-length pattern (row_number difference / cumulative flag sum) over
+    event time."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # microsecond-exact epoch on BOTH engines (a seconds cast truncates in
+    # Spark but not in DuckDB's epoch()); ts is TIMESTAMP_NTZ → cast under
+    # the session's UTC zone, matching DuckDB's naive-timestamp epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    wsum = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wsum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Exact token heavy hitters over documents (the exact baseline a
     count-min sketch approximates at scale)."""
@@ -917,6 +966,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_classification": q_margin_classification,
     "confidence_formula": q_confidence_formula,
     "freq_boost": q_freq_boost,
+    "sessionize": q_sessionize,
     "heavy_hitters": q_heavy_hitters,
     "self_drift": q_self_drift,
     "moving_avg": q_moving_avg,
@@ -948,6 +998,7 @@ ORACLES_EXT: dict[str, str] = {
     "margin_classification": _margin_sql(),
     "confidence_formula": _confidence_sql(),
     "freq_boost": SQL_FREQ_BOOST,
+    "sessionize": SQL_SESSIONIZE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "self_drift": SQL_SELF_DRIFT,
     "moving_avg": SQL_MOVING_AVG,
