@@ -88,6 +88,19 @@ def token_count(col: str) -> Column:
     ).otherwise(F.size(F.split(F.trim(F.col(col)), r"\s+"))).alias("n_tokens")
 
 
+# escape-free character classes: Spark SQL string literals consume backslash
+# escapes ('\s' -> 's') while DuckDB passes them through — a pattern with no
+# backslashes evaluates identically when embedded in either engine's SQL
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def bpe_ish_token_count(col: str) -> Column:
+    """Sub-word-style token count: alphabetic runs, digit runs, and each
+    punctuation mark count separately (the BPE-pretokenizer shape used for
+    LLM training-data budgeting), via one regexp_extract_all."""
+    return F.size(F.expr(f"regexp_extract_all({col}, '{BPE_ISH_PATTERN}', 0)"))
+
+
 def marker_count(col: str, marker: str) -> Column:
     """Occurrences of a literal marker char/substring (F17: `<` counting) via
     length difference — no regex engine in the loop."""

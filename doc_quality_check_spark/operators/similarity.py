@@ -122,6 +122,99 @@ def sign_lsh_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest (max
+    cosine) centroid → (id, centroid_id, cosine-to-centroid). Centroids
+    broadcast; assignment is one corpus scan. Ties break on centroid_id."""
+    from pyspark.sql import Window
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_v"), F.col("norm").alias("_n")
+    )
+    k = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("norm").alias("_cn"),
+    )
+    cos = F.round(F.expr(_dot_expr("_v", "_cv")) / (F.col("_n") * F.col("_cn")), 6)
+    scored = c.crossJoin(F.broadcast(k)).select(
+        id_col, "centroid_id", cos.alias("centroid_cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("centroid_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: corpus vectors are bucketed by nearest centroid
+    (inverted lists); each query probes its ``nprobe`` nearest centroids and
+    ranks only those lists' members by exact cosine →
+    (query_id, neighbor_id, cosine, rn).
+
+    At 100 TB the assignment table is computed once and partitioned by
+    centroid_id, so a query touches nprobe/k_centroids of the corpus. The
+    codebook here is any small DataFrame of (vec_id, embedding) — a k-means
+    model's centers in production; the callers in queries_ext use a
+    deterministic prefix of the corpus so the DuckDB oracle reproduces it."""
+    from pyspark.sql import Window
+
+    assign = ivf_assignments(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("_list")
+    )
+    qk = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("norm").alias("_qn"),
+    )
+    cset = with_norm(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("norm").alias("_cn"),
+    )
+    qcos = F.round(F.expr(_dot_expr("_qv", "_cv")) / (F.col("_qn") * F.col("_cn")), 6)
+    qprobe = qk.crossJoin(F.broadcast(cset)).select(
+        "query_id", "_qv", "_qn", "centroid_id", qcos.alias("_qc")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_qc"), F.asc("centroid_id"))
+    probes = (
+        qprobe.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "_qv", "_qn", F.col("centroid_id").alias("_list"))
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv2"),
+        F.col("norm").alias("_cn2"),
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(c, "neighbor_id")
+    )
+    cos = F.round(F.expr(_dot_expr("_qv", "_cv2")) / (F.col("_qn") * F.col("_cn2")), 6)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

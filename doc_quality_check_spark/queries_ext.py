@@ -496,6 +496,83 @@ WHERE rn <= 3
 """
 
 
+def q_bpe_tokens(spark, sf):
+    """BPE-pretokenizer-style token counting (LLM data budgeting): letter
+    runs, digit runs, and individual punctuation as separate tokens."""
+    from doc_quality_check_spark.functions.text import bpe_ish_token_count
+
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+SQL_BPE_TOKENS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_ivf_topk(spark, sf):
+    """IVF-flat ANN: deterministic codebook (vec_id < 8), corpus bucketed by
+    nearest centroid, queries (vec_id 8-12) probe their 2 nearest lists and
+    rank members by exact cosine."""
+    from doc_quality_check_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8)
+    queries = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13))
+    return ivf_topk(e, queries, centroids, k=5, nprobe=2)
+
+
+SQL_IVF_TOPK = f"""
+WITH {_DIMS_CTE},
+cd AS (SELECT * FROM dims WHERE vec_id < 8),
+assign_cos AS (
+  SELECT d.vec_id, c.vec_id AS centroid_id,
+         round(sum(d.x * c.x) / (nd.nrm * nc.nrm), 6) AS cc
+  FROM dims d
+  JOIN cd c ON c.i = d.i
+  JOIN norms nd ON nd.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = c.vec_id
+  GROUP BY d.vec_id, c.vec_id, nd.nrm, nc.nrm
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, centroid_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cc DESC, centroid_id ASC) AS rn
+        FROM assign_cos) x
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id AS list_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cc DESC, centroid_id ASC) AS rn
+        FROM assign_cos WHERE vec_id >= 8 AND vec_id < 13) x
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(sum(q.x * n.x) / (nq.nrm * nn.nrm), 6) AS cosine
+  FROM cand c
+  JOIN dims q ON q.vec_id = c.query_id
+  JOIN dims n ON n.vec_id = c.neighbor_id AND n.i = q.i
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms nn ON nn.vec_id = c.neighbor_id
+  GROUP BY c.query_id, c.neighbor_id, nq.nrm, nn.nrm
+)
+SELECT query_id, neighbor_id, cosine, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored) x
+WHERE rn <= 5
+"""
+
+
 def q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs within sign buckets. Threshold 0.3 is
     calibrated to the synthetic embeddings (max pairwise cosine ≈ 0.51) so the
@@ -962,6 +1039,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "ann_sign_lsh": q_ann_sign_lsh,
     "embedding_neardup": q_embedding_neardup,
+    "ivf_topk": q_ivf_topk,
+    "bpe_tokens": q_bpe_tokens,
     "type_classification": q_type_classification,
     "margin_classification": q_margin_classification,
     "confidence_formula": q_confidence_formula,
@@ -994,6 +1073,8 @@ ORACLES_EXT: dict[str, str] = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ann_sign_lsh": SQL_ANN_SIGN_LSH,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "ivf_topk": SQL_IVF_TOPK,
+    "bpe_tokens": SQL_BPE_TOKENS,
     "type_classification": _type_sql(),
     "margin_classification": _margin_sql(),
     "confidence_formula": _confidence_sql(),
