@@ -44,6 +44,20 @@ def test_transcript_match_check(spark, clips_dir):
     res2.unpersist()
 
 
+def test_example_suite_config_loads():
+    """The shipped JSON config (the reference's config.json analog) parses
+    into the exact default suite."""
+    import os
+
+    from doc_quality_check_spark.suite.spec import CheckSuite, default_suite
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "audio_clip_quality_v1.json")
+    with open(path) as fh:
+        loaded = CheckSuite.from_json(fh.read())
+    assert loaded.to_json() == default_suite().to_json()
+
+
 def test_load_clips_table_parquet_fallback(spark, clips_dir):
     import os
 
