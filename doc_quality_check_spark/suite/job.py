@@ -87,6 +87,7 @@ class ValidationJob:
             self.manifests.save(m)
 
         runner = SuiteRunner(suite)
+        t_run = time.perf_counter()
         res = runner.run(
             clips,
             catalog=catalog,
@@ -94,15 +95,25 @@ class ValidationJob:
             payload=payload,
             completed_partitions=completed or None,
         )
+        run_sec = time.perf_counter() - t_run
 
         # materialize result tables (violations first: triggers the cached
         # metrics pass), then record per-partition metrics in the manifest
         viol_path = os.path.join(self.out_dir, f"run_{m.run_id:06d}", "violations")
         verd_path = os.path.join(self.out_dir, f"run_{m.run_id:06d}", "verdicts")
+        t_write = time.perf_counter()
         res.violations.write.mode("overwrite").parquet(viol_path)
         verdict_rows = [r.asDict() for r in res.verdicts.collect()]
         res.verdicts.write.mode("overwrite").parquet(verd_path)
+        write_sec = time.perf_counter() - t_write
         self.manifests.record_partitions(m, verdict_rows)
+        # per-operator timing in the manifest — the reference returns wall
+        # time with every metric (clarity_check.py:21,37; SURVEY.md F20)
+        m.input_lineage["timing_sec"] = {
+            "suite_run": round(run_sec, 3),
+            "result_write": round(write_sec, 3),
+        }
+        self.manifests.save(m)
 
         ts = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
         paths = {}
