@@ -46,8 +46,10 @@ def run_suite_best(cores: int) -> dict:
     from doc_quality_check_spark.suite.runner import SuiteRunner
     from doc_quality_check_spark.suite.spec import default_suite
 
+    # separate cache dir from bench.py's 20k fixture so the two benchmarks
+    # don't evict each other's generated data
     clips_dir = generate_clips(
-        os.path.join(REPO, ".data", "clips_bench"), n_rows=N_CLIPS, seed=42)
+        os.path.join(REPO, ".data", "clips_scaling"), n_rows=N_CLIPS, seed=42)
     spark = get_spark(f"scaling-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
