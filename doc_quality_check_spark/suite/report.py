@@ -73,12 +73,29 @@ def render_html(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
         label = "PASS" if ok else "FAIL"
         return f'<span style="color:{color};font-weight:bold">{label}</span>'
 
-    rows = "\n".join(
-        f"<tr><td>{e(str(r['part_key']))}</td><td>{e(r['constraint_id'])}</td>"
-        f"<td>{r['n_rows'] if r['n_rows'] is not None else '-'}</td>"
-        f"<td>{r['n_violations']}</td><td>{chip(r['passed'])}</td></tr>"
-        for r in vs
-    )
+    # per-partition sections — the reference's per-folder/per-file grouping
+    # (test_readability.py:289-297) applied to partitions
+    by_part: dict[str, list[dict]] = {}
+    for r in vs:
+        by_part.setdefault(str(r["part_key"]), []).append(r)
+    sections = []
+    for pk in sorted(by_part):
+        rows = "\n".join(
+            f"<tr><td>{e(r['constraint_id'])}</td>"
+            f"<td>{r['n_rows'] if r['n_rows'] is not None else '-'}</td>"
+            f"<td>{r['n_violations']}</td><td>{chip(r['passed'])}</td></tr>"
+            for r in by_part[pk]
+        )
+        n_fail = sum(1 for r in by_part[pk] if not r["passed"])
+        badge = chip(n_fail == 0)
+        sections.append(
+            f"<h3>partition <code>{e(pk)}</code> — {badge}"
+            f" ({n_fail} failing constraint{'s' if n_fail != 1 else ''})</h3>\n"
+            f'<table border="1" cellpadding="4" cellspacing="0">\n'
+            f"<tr><th>constraint</th><th>rows</th><th>violations</th><th>status</th></tr>\n"
+            f"{rows}\n</table>"
+        )
+    rows = "\n".join(sections)
     stats = "\n".join(
         f"<li><b>{e(str(k))}</b>: {e(str(v))}</li>" for k, v in sm.items()
     )
@@ -92,10 +109,7 @@ def render_html(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
 <h1>Validation report — {e(suite_name)} (run {run_id})</h1>
 <h2>Summary</h2><ul>{stats}</ul>
 <h2>Per-partition verdicts</h2>
-<table border="1" cellpadding="4" cellspacing="0">
-<tr><th>partition</th><th>constraint</th><th>rows</th><th>violations</th><th>status</th></tr>
 {rows}
-</table>
 <h2>Violations (first {max_violations})</h2><ul>{vio_rows}</ul>
 </body></html>
 """
