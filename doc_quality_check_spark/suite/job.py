@@ -15,8 +15,9 @@ summary), extended with the north rule's checkpoint/resume semantics:
 4. write violation rows + verdict rows as parquet result tables and render
    the TXT/HTML/JSON reports with the reference's report_<id>_<ts> naming.
 
-Deployment: ``spark-submit --py-files dqcs.zip -m doc_quality_check_spark.suite.job
-<clips_path> <out_dir>`` — see __main__ at the bottom.
+Deployment: ``spark-submit --py-files dist/dqcs.zip
+doc_quality_check_spark/suite/job.py <clips_path_or_table> <out_dir>``
+(build the zip with tools/make_pyfiles.py) — see __main__ at the bottom.
 """
 
 from __future__ import annotations
@@ -135,12 +136,15 @@ class ValidationJob:
 
 
 def main(argv: list[str]) -> None:
-    """spark-submit entry: validate a clips table with the default suite."""
-    clips_path, out_dir = argv[0], argv[1]
+    """spark-submit entry: validate a clips table (Iceberg identifier or
+    parquet path) with the default suite."""
+    from doc_quality_check_spark.sources.iceberg import load_clips_table
+
+    clips_src, out_dir = argv[0], argv[1]
     spark = SparkSession.builder.appName("dqcs-validate").getOrCreate()
-    clips = spark.read.parquet(clips_path)
+    clips = load_clips_table(spark, clips_src)
     job = ValidationJob(default_suite(), out_dir)
-    jr = job.run(clips, payload=True, input_files=[clips_path])
+    jr = job.run(clips, payload=True, input_files=[clips_src])
     print(f"run {jr.manifest.run_id} complete; reports: {jr.report_paths}")
 
 
