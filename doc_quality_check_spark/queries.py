@@ -95,11 +95,15 @@ SELECT event_id, 'null_props' FROM events WHERE props IS NULL
 # ---------------------------------------------------------------------------
 
 def q_global_summary(spark, sf):
+    # avg is computed as an exact fixed-point decimal sum / count so the
+    # result is independent of partial-aggregation order (float sums are
+    # not associative; the driver's hash compares exact rounded values).
     li = t(spark, sf, "lineitem")
+    dec_sum = F.sum(F.col("l_quantity").cast("decimal(28,6)"))
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("n_returned"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("n_returned"),
+        F.round((dec_sum / F.count(F.lit(1))).cast("double"), 4).alias("avg_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
@@ -108,8 +112,8 @@ def q_global_summary(spark, sf):
 
 SQL_GLOBAL_SUMMARY = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
-       round(avg(l_quantity), 4) AS avg_qty,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) / count(*) AS DOUBLE), 4) AS avg_qty,
        count(DISTINCT l_orderkey) AS n_orders,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
@@ -217,18 +221,20 @@ def q_threshold_sweep(spark, sf):
     ts = [5, 10, 15, 20, 30, 50]
     return ev.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        *[F.sum(F.when(F.col("value") >= F.lit(float(x)), 1).otherwise(0)).alias(f"ge_{x}") for x in ts],
+        *[F.sum(F.when(F.col("value") >= F.lit(float(x)), 1).otherwise(0)).cast("long").alias(f"ge_{x}") for x in ts],
     )
 
 
+# DuckDB sum() over INTEGER yields HUGEINT (int128) — cast to BIGINT so the
+# driver's value normalization matches Spark's LongType exactly.
 SQL_SWEEP = """
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) AS ge_5,
-       sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS ge_10,
-       sum(CASE WHEN value >= 15.0 THEN 1 ELSE 0 END) AS ge_15,
-       sum(CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) AS ge_20,
-       sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END) AS ge_30,
-       sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS ge_50
+       CAST(sum(CASE WHEN value >= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS ge_5,
+       CAST(sum(CASE WHEN value >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS ge_10,
+       CAST(sum(CASE WHEN value >= 15.0 THEN 1 ELSE 0 END) AS BIGINT) AS ge_15,
+       CAST(sum(CASE WHEN value >= 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS ge_20,
+       CAST(sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END) AS BIGINT) AS ge_30,
+       CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS ge_50
 FROM events
 """
 

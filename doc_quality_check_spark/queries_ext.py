@@ -787,7 +787,8 @@ def q_sessionize(spark, sf):
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        # exact fixed-point sum → order-insensitive across engines
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("session_value"),
     )
 
 
@@ -807,7 +808,7 @@ s AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event,
-       round(sum(value), 4) AS session_value
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS session_value
 FROM s GROUP BY user_id, session_id
 """
 

@@ -78,6 +78,7 @@ class ValidationJob:
             )
 
         completed: list[str] = []
+        prev = None
         if resume:
             prev = self.manifests.latest()
             if prev is not None and prev.status != "complete":
@@ -97,6 +98,28 @@ class ValidationJob:
             completed_partitions=completed or None,
         )
         run_sec = time.perf_counter() - t_run
+
+        # Merge the prior (crashed) run's per-partition verdicts for the
+        # partitions this run skipped, so a resumed run's verdict table has
+        # FULL coverage of the input, not just the remainder. Global
+        # ("__global__") verdicts are recomputed on the full input by the
+        # runner and are never merged from the prior run.
+        if completed and prev is not None:
+            from doc_quality_check_spark.suite.runner import VERDICT_SCHEMA
+
+            prior_rows = []
+            for pk in completed:
+                for cid, v in prev.partitions.get(pk, {}).get("checks", {}).items():
+                    prior_rows.append((
+                        pk, cid,
+                        None if v.get("n_rows") is None else int(v["n_rows"]),
+                        None if v.get("n_violations") is None else int(v["n_violations"]),
+                        v.get("passed"),
+                        None if v.get("metric_value") is None else float(v["metric_value"]),
+                    ))
+            if prior_rows:
+                prior_df = clips.sparkSession.createDataFrame(prior_rows, VERDICT_SCHEMA)
+                res.verdicts = res.verdicts.unionByName(prior_df)
 
         # materialize result tables (violations first: triggers the cached
         # metrics pass), then record per-partition metrics in the manifest

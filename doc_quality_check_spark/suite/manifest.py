@@ -101,7 +101,13 @@ class ManifestStore:
         self.save(m)
 
     def completed_partitions(self, m: RunManifest) -> list[str]:
-        return [pk for pk, v in m.partitions.items() if v.get("status") == "complete"]
+        # "__global__" is the synthetic part_key of table-level verdicts,
+        # not a data partition — it must never enter the resume skip set
+        # (table checks always re-run on the full input).
+        return [
+            pk for pk, v in m.partitions.items()
+            if v.get("status") == "complete" and pk != "__global__"
+        ]
 
     def finish_run(self, m: RunManifest, status: str = "complete") -> None:
         m.status = status

@@ -59,6 +59,21 @@ VERDICT_SCHEMA = StructType(
 )
 
 
+NULL_PART = "__null__"
+
+
+def part_key_col(part_cols: list[str]):
+    """The canonical part_key expression — shared by the verdict groupBy and
+    the resume filter so multi-column partition keys resume correctly. NULL
+    partition values map to the '__null__' sentinel: they form their own
+    verdict/resume unit instead of producing NULL keys (which would break
+    manifest JSON keys and make the resume isin() filter drop the rows)."""
+    if not part_cols:
+        return F.lit(GLOBAL_PART)
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_PART)) for c in part_cols]
+    return parts[0] if len(parts) == 1 else F.concat_ws("/", *parts)
+
+
 @dataclass
 class RunResult:
     """All result tables of one suite run (lazy DataFrames)."""
@@ -87,12 +102,23 @@ class SuiteRunner:
         completed_partitions: list[str] | None = None,
     ) -> RunResult:
         """Execute the suite. ``completed_partitions`` (from a prior run's
-        manifest) are skipped — the resume anti-join is a partition-pruned
-        filter because ``part_key`` is the table's partition column."""
+        manifest) are skipped for the ROW-LEVEL path only — the resume filter
+        is partition-pruned because ``part_key`` is the table's partition
+        column. Table-level checks (uniqueness, referential, completeness,
+        drift, …) always see the FULL input: a duplicate key spanning a
+        completed and a pending partition must still be caught, and
+        row_count_min must not falsely fail on the resumed subset."""
         suite = self.suite
         part_cols = suite.partition_by
-        if completed_partitions and part_cols:
-            clips = clips.filter(~F.col(part_cols[0]).isin(completed_partitions))
+        full_clips = clips
+        resuming = bool(completed_partitions and part_cols)
+        if resuming:
+            pk = part_key_col(part_cols)
+            # NULL part keys make isin() NULL → the row would be silently
+            # dropped; coalesce keeps them (they were never marked complete)
+            clips = clips.filter(
+                F.coalesce(~pk.isin(list(completed_partitions)), F.lit(True))
+            )
 
         row_checks = suite.row_checks()
         needs_payload = payload and any(c.kind.startswith("payload_") for c in row_checks)
@@ -116,19 +142,30 @@ class SuiteRunner:
             # independent Spark job, and serializing them is pure Amdahl loss
             # on a warm cache. Scalar aggregates are fused into one job first.
             df.count()
+            # On resume, table checks run on the FULL input, not the pending
+            # subset. Use the raw table (bytes pruned at scan) unless a check
+            # references a derived metric column, which forces a full decode.
+            table_df = df
+            if resuming:
+                raw_cols = set(full_clips.columns)
+                needed = {c.column for c in table_checks if c.column}
+                if needed <= raw_cols:
+                    table_df = full_clips.drop("bytes")
+                else:
+                    table_df = with_audio_metrics(full_clips)
             simple = [c for c in table_checks if c.kind in _SIMPLE_AGG_KINDS]
             complex_ = [c for c in table_checks if c.kind not in _SIMPLE_AGG_KINDS]
             results: dict[str, tuple] = {}
             extras: dict[str, DataFrame] = {}
             if simple:
-                for cid, v in self._run_simple_aggs(df, simple).items():
+                for cid, v in self._run_simple_aggs(table_df, simple).items():
                     results[cid] = v
             if complex_:
                 from concurrent.futures import ThreadPoolExecutor
 
                 def run_one(check):
                     return check.constraint_id, self._run_table_check(
-                        df, check, catalog, baseline)
+                        table_df, check, catalog, baseline)
 
                 with ThreadPoolExecutor(max_workers=min(4, len(complex_))) as ex:
                     for cid, (v, extra) in ex.map(run_one, complex_):
@@ -166,12 +203,7 @@ class SuiteRunner:
         keys collapse into one '/'-joined part_key string."""
         if not row_checks:
             return df.sparkSession.createDataFrame([], VERDICT_SCHEMA)
-        if not part_cols:
-            part = F.lit(GLOBAL_PART)
-        elif len(part_cols) == 1:
-            part = F.col(part_cols[0]).cast("string")
-        else:
-            part = F.concat_ws("/", *[F.col(c).cast("string") for c in part_cols])
+        part = part_key_col(part_cols)
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
             F.sum(F.when(~F.col(PASS_PREFIX + c.constraint_id), 1).otherwise(0))
             .alias("nv__" + c.constraint_id)
@@ -227,7 +259,8 @@ class SuiteRunner:
                 passed = p.get("min", 0) <= metric <= p.get("max", float("inf"))
             else:
                 passed = p.get("min", float("-inf")) <= metric <= p.get("max", float("inf"))
-            out[cid] = (GLOBAL_PART, cid, n_rows if c.kind == "completeness_min" else None,
+            has_n = c.kind in ("completeness_min", "row_count_min")
+            out[cid] = (GLOBAL_PART, cid, n_rows if has_n else None,
                         0, bool(passed), metric)
         return out
 

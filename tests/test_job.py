@@ -67,7 +67,9 @@ def test_job_resume_skips_completed_partitions(spark, clips_dir, tmp_path):
     m1.status = "running"
     job.manifests.save(m1)
 
-    # run 2 resumes: completed partitions are excluded from row verdicts
+    # run 2 resumes: completed partitions are NOT re-validated (their
+    # verdicts come from the prior run's manifest), but the final verdict
+    # table covers EVERY partition of the input — including the skipped ones.
     jr2 = job.run(clips, payload=False, resume=True)
     assert jr2.manifest.run_id == m1.run_id + 1
     assert jr2.manifest.input_lineage["resumed_from_partitions"] == sorted(done)
@@ -75,11 +77,62 @@ def test_job_resume_skips_completed_partitions(spark, clips_dir, tmp_path):
         r["part_key"]
         for r in jr2.result.verdicts.select("part_key").distinct().collect()
     }
-    assert parts.isdisjoint(done)
+    all_parts = {
+        str(r["part_key"])
+        for r in clips.select("part_key").distinct().collect()
+    }
+    assert all_parts <= parts          # full coverage, merged prior verdicts
+    assert set(done) <= parts
+    # merged rows carry the prior run's metrics verbatim
+    merged = {
+        (r["part_key"], r["constraint_id"]): r
+        for r in jr2.result.verdicts.filter(F.col("part_key").isin(done)).collect()
+    }
+    for pk in done:
+        for cid, v in m1.partitions[pk]["checks"].items():
+            r = merged[(pk, cid)]
+            assert r["n_violations"] == v["n_violations"]
+            assert r["passed"] == v["passed"]
+    # global table checks ran on the FULL input (not the pending remainder)
+    uniq = [r for r in jr2.result.verdicts.collect()
+            if r["part_key"] == GLOBAL_PART and r["constraint_id"] == "clip_id_unique"]
+    assert len(uniq) == 1
 
     # run 3 after a COMPLETE run does not resume (full revalidation)
     jr3 = job.run(clips, payload=False, resume=True)
     assert "resumed_from_partitions" not in jr3.manifest.input_lineage
+
+
+def test_job_resume_global_checks_span_partitions(spark, clips_dir, tmp_path):
+    """A duplicate clip_id spanning a completed and a pending partition must
+    still be caught on resume, and NULL part_key rows must not be dropped."""
+    out = str(tmp_path / "job_resume_global")
+    base = load_clips(spark, clips_dir).drop("bytes").limit(600)
+    parts = sorted(r["part_key"] for r in base.select("part_key").distinct().collect())
+    p_done, p_pending = str(parts[0]), str(parts[1])
+    # plant a cross-partition duplicate + a NULL-part_key row
+    dup_id = base.filter(F.col("part_key") == p_done).select("clip_id").first()["clip_id"]
+    planted = base.filter(F.col("part_key") == p_pending).limit(1) \
+        .withColumn("clip_id", F.lit(dup_id))
+    null_part = base.limit(1).withColumn("part_key", F.lit(None).cast(base.schema["part_key"].dataType)) \
+        .withColumn("clip_id", F.lit("null-part-row"))
+    clips = base.unionByName(planted).unionByName(null_part)
+
+    job = ValidationJob(_suite(), out)
+    jr1 = job.run(clips, payload=False)
+    m1 = job.manifests.load(jr1.manifest.run_id)
+    m1.partitions = {p_done: m1.partitions[p_done]}
+    m1.status = "running"
+    job.manifests.save(m1)
+
+    jr2 = job.run(clips, payload=False, resume=True)
+    rows = jr2.result.verdicts.collect()
+    uniq = [r for r in rows if r["constraint_id"] == "clip_id_unique"][0]
+    assert not uniq["passed"]          # cross-partition duplicate caught
+    assert uniq["n_violations"] >= 1
+    # the NULL-part_key row survives the resume filter (validated again)
+    checked_ids = {r["clip_id"] for r in jr2.result.checked.select("clip_id").collect()}
+    assert "null-part-row" in checked_ids
 
 
 def test_job_prunes_checks_missing_side_tables(spark, clips_dir, tmp_path):
