@@ -227,15 +227,22 @@ def zero_crossing_rate(pcm: np.ndarray) -> float:
     return float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
 
 
-def decode_confidence(ok: bool, pcm: np.ndarray, flatness: float | None = None) -> float:
+def decode_confidence(ok: bool, pcm: np.ndarray, flatness: float | None = None,
+                      fast: bool = False) -> float:
     """Decode-validity confidence ∈ [0,100] — OCR-confidence analog
     (confidence_check.py:178-261). Parse failure → 0 (like blank → 0.0).
     Signal presence (energy/RMS) scaled by tonality (1 − spectral flatness):
-    a decodable-but-noise-only payload scores lower than a tonal one."""
+    a decodable-but-noise-only payload scores lower than a tonal one.
+
+    ``fast=True`` is the reference's 'fast' tier (confidence_check.py:178-261
+    without the 'improved'-mode enhancement retry): energy/RMS only, no FFT —
+    the tonality factor is skipped entirely."""
     if not ok or pcm.size == 0:
         return 0.0
     er = energy_ratio(pcm)
     rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+    if fast:
+        return float(min(100.0, 100.0 * min(1.0, 2.0 * er) * min(1.0, 10.0 * rms)))
     if flatness is None:
         flatness = spectral_flatness(pcm)
     tonality = 1.0 - flatness
@@ -260,7 +267,8 @@ AUDIO_METRICS_SCHEMA = StructType(
 )
 
 
-def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
+def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series,
+                       fast: bool = False) -> pd.DataFrame:
     out = {k.name: [] for k in AUDIO_METRICS_SCHEMA.fields}
     for buf, codec in zip(payloads, codecs):
         try:
@@ -270,14 +278,16 @@ def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
         except Exception as exc:  # in-band error row (test_readability.py:262-271)
             sr, pcm, ok, err = 0, np.zeros(0, dtype=np.float32), False, str(exc)
         er = energy_ratio(pcm)
-        flat = spectral_flatness(pcm) if ok and pcm.size else 1.0
+        # 'fast' tier skips the FFT pass: flatness is reported NULL and the
+        # confidence drops the tonality factor (decode_confidence(fast=True))
+        flat = None if fast else (spectral_flatness(pcm) if ok and pcm.size else 1.0)
         out["decode_ok"].append(ok)
         out["header_sr"].append(sr)
         out["n_samples"].append(int(pcm.size))
         out["energy_ratio"].append(er)
         out["spectral_flatness"].append(flat)
         out["zcr"].append(zero_crossing_rate(pcm))
-        out["decode_conf"].append(decode_confidence(ok, pcm, flat))
+        out["decode_conf"].append(decode_confidence(ok, pcm, flat, fast=fast))
         out["decoded_dur_ms"].append(1000.0 * pcm.size / sr if sr else 0.0)
         out["error"].append(err)
     return pd.DataFrame(out)
@@ -290,6 +300,14 @@ def audio_metrics_udf(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
     exactly once (the reference's 'avoids double analysis' discipline,
     test_readability.py:211-213 — which its own app fails at, app.py:336-345)."""
     return _metrics_for_batch(payloads, codecs)
+
+
+@F.pandas_udf(AUDIO_METRICS_SCHEMA)
+def audio_metrics_fast_udf(payloads: pd.Series, codecs: pd.Series) -> pd.DataFrame:
+    """'fast'-mode metrics: full PCM decode but NO spectral FFT pass —
+    spectral_flatness is NULL and decode_conf omits the tonality factor
+    (reference fast tier, confidence_check.py:178-261)."""
+    return _metrics_for_batch(payloads, codecs, fast=True)
 
 
 @F.pandas_udf(ArrayType(FloatType()))
@@ -364,6 +382,10 @@ def with_escalated_confidence(
         {
             "decode_conf": F.col("hdr_conf"),
             "conf_tier": F.lit("cheap"),
+            # header-derived stand-ins so mode-agnostic consumers (e.g. the
+            # payload_sr_consistency check) see consistent column names
+            "decode_ok": F.col("hdr_ok"),
+            "header_sr": F.col("hdr_sr"),
         }
     ).drop(payload_col)
     needs_more = probed.filter(
@@ -375,12 +397,15 @@ def with_escalated_confidence(
         )
         .withColumn("decode_conf", F.col("_m.decode_conf"))
         .withColumn("conf_tier", F.lit("escalated"))
+        .withColumn("decode_ok", F.col("_m.decode_ok"))
+        .withColumn("header_sr", F.col("_m.header_sr"))
         .drop("_m", payload_col)
     )
     return cheap_pass.unionByName(escalated)
 
 
-def with_audio_metrics(df, payload_col: str = "bytes", codec_col: str = "codec"):
+def with_audio_metrics(df, payload_col: str = "bytes", codec_col: str = "codec",
+                       fast: bool = False):
     """Attach the metrics struct + flattened metric columns, dropping the
     payload column afterwards so downstream stages never shuffle binary data
     (SURVEY.md §7 'never wide-shuffle the bytes column').
@@ -398,8 +423,60 @@ def with_audio_metrics(df, payload_col: str = "bytes", codec_col: str = "codec")
         cap = 0
     if cap and df.rdd.getNumPartitions() > cap:
         df = df.coalesce(cap)
-    m = audio_metrics_udf(F.col(payload_col), F.col(codec_col))
+    udf = audio_metrics_fast_udf if fast else audio_metrics_udf
+    m = udf(F.col(payload_col), F.col(codec_col))
     df = df.withColumn("_m", m)
     for f in AUDIO_METRICS_SCHEMA.fields:
         df = df.withColumn(f.name, F.col(f"_m.{f.name}"))
     return df.drop("_m", payload_col)
+
+
+PAYLOAD_MODES = ("superfast", "fast", "balanced", "accurate")
+
+
+def with_payload_metrics(
+    df,
+    checks=None,
+    mode: str = "accurate",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    escalate_below: float = 15.0,
+):
+    """F5: the 4-mode check dispatcher (reference calculate_ocr_confidence,
+    /root/reference/checks/confidence_check.py:421-455) as a physical-plan
+    chooser. Returns ``(df, effective_mode)``.
+
+    - ``superfast`` — header probe only, no PCM decode (O(1)/payload)
+    - ``fast``      — full decode, no spectral FFT pass
+    - ``balanced``  — header probe all rows, full decode only below
+      ``escalate_below`` (the reference's early-exit)
+    - ``accurate``  — full decode + spectral analysis (default)
+
+    An unknown mode falls back to 'balanced' like the reference's ``else``
+    branch. If the enabled payload ``checks`` need full-decode metric columns
+    (payload_energy / payload_dur_consistency), superfast/balanced cannot
+    satisfy them for the cheap-tier rows — the dispatcher escalates to
+    'fast' and reports it via ``effective_mode`` (the reference's global
+    fallback semantics: never fail, pick the cheapest sufficient path)."""
+    kinds = {c.kind for c in (checks or [])}
+    needs_full = bool(kinds & {"payload_energy", "payload_dur_consistency"})
+    eff = mode if mode in PAYLOAD_MODES else "balanced"
+    if needs_full and eff in ("superfast", "balanced"):
+        eff = "fast"
+    if eff == "superfast":
+        out = (
+            df.withColumn("_p", header_probe_udf(F.col(payload_col)))
+            .withColumn("decode_ok", F.col("_p.hdr_ok"))
+            .withColumn("header_sr", F.col("_p.hdr_sr"))
+            .withColumn("decode_conf", F.col("_p.hdr_conf"))
+            .withColumn("conf_tier", F.lit("cheap"))
+            .drop("_p", payload_col)
+        )
+        return out, eff
+    if eff == "balanced":
+        return (
+            with_escalated_confidence(df, payload_col, codec_col, escalate_below),
+            eff,
+        )
+    out = with_audio_metrics(df, payload_col, codec_col, fast=(eff == "fast"))
+    return out.withColumn("conf_tier", F.lit(eff)), eff

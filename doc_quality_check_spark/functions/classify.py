@@ -119,6 +119,81 @@ def classification_confidence(
     return clamp(base + kw_bonus + side_bonus + band_term + len_term)
 
 
+def content_analysis(
+    text_col: str,
+    back_keywords: list[str],
+    front_keywords: list[str],
+    marker: str = "<",
+    marker_min: int = 5,
+) -> Column:
+    """C6: the content-analysis feature struct of the reference's
+    analyze_document_content (identity_detection.py:132-160): marker (MRZ)
+    occurrence count, per-catalog substring-hit scores, and the has_* flags.
+    Substring containment (not token match) mirrors ``kw in text_lower``."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(c)
+    mlen = len(marker)
+    mrz_score = (
+        (F.length(c) - F.length(F.replace(c, F.lit(marker), F.lit("")))) / mlen
+    ).cast("int")
+
+    def _score(keywords: list[str]) -> Column:
+        s: Column = F.lit(0)
+        for k in keywords:
+            s = s + F.when(low.contains(k.lower()), 1).otherwise(0)
+        return s
+
+    back_score = _score(back_keywords)
+    front_score = _score(front_keywords)
+    return F.struct(
+        (mrz_score >= marker_min).alias("has_mrz"),
+        (back_score > 0).alias("has_back_keywords"),
+        (front_score > 0).alias("has_front_keywords"),
+        mrz_score.alias("mrz_score"),
+        back_score.alias("back_score"),
+        front_score.alias("front_score"),
+    )
+
+
+def priority_reclassify(
+    text_col: str,
+    back_keywords: list[str],
+    front_keywords: list[str],
+    marker: str = "<",
+    marker_min: int = 5,
+    short_len: int = 200,
+    label_back: str = "back",
+    label_front: str = "front",
+) -> Column:
+    """C7: the reference's ordered priority-rule chain with a recorded
+    detection method (identity_detection.py:162-187): MRZ marker beats
+    back-keywords beats front-keywords beats the text-length tie-break.
+    Returns ``struct<label:string, detection_method:string>`` — both NULL
+    when no rule fires (the reference leaves the classification unchanged),
+    so callers can coalesce onto a prior label while auditing *why* each row
+    was (re)classified."""
+    a = content_analysis(text_col, back_keywords, front_keywords, marker, marker_min)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    short = F.length(c) < short_len
+    label = (
+        F.when(a["has_mrz"], F.lit(label_back))
+        .when(a["has_back_keywords"] & (a["back_score"] >= a["front_score"]), F.lit(label_back))
+        .when(a["has_front_keywords"] & (a["front_score"] > a["back_score"]), F.lit(label_front))
+        .when(a["has_front_keywords"] & short, F.lit(label_front))
+        .when(a["has_front_keywords"], F.lit(label_back))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    method = (
+        F.when(a["has_mrz"], F.lit("mrz_pattern"))
+        .when(a["has_back_keywords"] & (a["back_score"] >= a["front_score"]), F.lit("back_keywords"))
+        .when(a["has_front_keywords"] & (a["front_score"] > a["back_score"]), F.lit("front_keywords"))
+        .when(a["has_front_keywords"] & short, F.lit("front_keywords_priority"))
+        .when(a["has_front_keywords"], F.lit("back_keywords_priority"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return F.struct(label.alias("label"), method.alias("detection_method"))
+
+
 def frequency_boost(
     df: DataFrame,
     label_col: str,

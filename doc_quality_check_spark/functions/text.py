@@ -186,6 +186,79 @@ def quality_score() -> Column:
     return F.round(F.least(F.lit(100.0), F.greatest(F.lit(0.0), raw)), 4)
 
 
+_KV_COLON = r"^\s*([^:]+):\s*(.+)$"
+_KV_DASH = r"^\s*([^-\n]+)-\s*(.+)$"
+
+
+def _pystrip(c: Column) -> Column:
+    """Python ``str.strip()`` analog — trims ALL whitespace from both ends
+    (F.trim removes spaces only)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def kv_entries(col) -> Column:
+    """F16: full key/value extraction from semi-structured text, pure
+    Catalyst (no UDF). Per line, ``Key: Value`` is tried first, then
+    ``Key - Value``; when NO line of the document matches either pattern,
+    every non-empty line falls back to ``(line_<N>, stripped line)`` with N
+    the 1-based original line number — the exact semantics of the
+    reference's extract_json_keys (utils/content_extraction.py:150-189).
+
+    Returns ``array<struct<idx:int, key:string, value:string>>``; ``idx``
+    preserves line order so duplicate keys can resolve last-wins downstream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+
+    def _match(ln, i):
+        ck = F.regexp_extract(ln, _KV_COLON, 1)
+        dk = F.regexp_extract(ln, _KV_DASH, 1)
+        key = (
+            F.when(ck != "", _pystrip(ck))
+            .when(dk != "", _pystrip(dk))
+        )
+        value = (
+            F.when(ck != "", _pystrip(F.regexp_extract(ln, _KV_COLON, 2)))
+            .when(dk != "", _pystrip(F.regexp_extract(ln, _KV_DASH, 2)))
+        )
+        return F.struct(
+            (i + 1).cast("int").alias("idx"), key.alias("key"), value.alias("value")
+        )
+
+    matched = F.filter(
+        F.transform(lines, _match), lambda e: e["key"].isNotNull()
+    )
+    fallback = F.filter(
+        F.transform(lines, lambda ln, i: F.struct(
+            (i + 1).cast("int").alias("idx"),
+            F.concat(F.lit("line_"), (i + 1).cast("string")).alias("key"),
+            _pystrip(ln).alias("value"),
+        )),
+        lambda e: e["value"] != "",
+    )
+    empty = F.array().cast("array<struct<idx:int,key:string,value:string>>")
+    return (
+        F.when(F.size(matched) > 0, matched)
+        .when(_pystrip(c) != "", fallback)
+        .otherwise(empty)
+    )
+
+
+def extract_kv_map(col) -> Column:
+    """F16 map form: ``map<string,string>`` of the kv_entries, duplicate
+    keys resolved LAST-wins (the reference's dict-assignment semantics)."""
+    e = kv_entries(col)
+    dedup = F.filter(
+        e,
+        lambda x: ~F.exists(
+            e, lambda y: (y["key"] == x["key"]) & (y["idx"] > x["idx"])
+        ),
+    )
+    return F.map_from_entries(
+        F.transform(dedup, lambda x: F.struct(x["key"], x["value"]))
+    )
+
+
 def extract_kv_int(col: str, key: str) -> Column:
     """F16 analog: pull an integer value for ``key`` out of a semi-structured
     string column via one regexp_extract (no JSON parser dependency).

@@ -203,3 +203,56 @@ def voiced_segments(
         )
         .drop("_grp")
     )
+
+
+def iou_dedupe_segments(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    start_col: str = "seg_start_ms",
+    end_col: str = "seg_end_ms",
+    iou_threshold: float = 0.3,
+    drop_touching: bool = True,
+) -> DataFrame:
+    """O2: greedy largest-first overlap removal for arbitrarily overlapping
+    segment sets — the 1-D interval analog of the reference's
+    remove_overlapping_contours (/root/reference/modules/
+    document_segmentation.py:143-228): sort candidates by size descending,
+    keep a candidate only if, against every already-kept segment, IoU ≤
+    ``iou_threshold`` AND (when ``drop_touching``, the reference's
+    separation rule) the intervals neither overlap nor touch.
+
+    The greedy loop is inherently sequential *per group* but groups (segments
+    of one clip) are tiny, so this runs as ``applyInPandas`` over Arrow
+    batches — per-partition Python on grouped data, never a driver loop; the
+    only shuffle is the groupBy(id_col) co-location. Sort ties break on
+    (start, end) so the result is deterministic under any partitioning.
+    Returns only the surviving rows, schema unchanged.
+    """
+    schema = df.schema
+    s, e = start_col, end_col
+
+    def _dedupe(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf
+        order = pdf.assign(_sz=pdf[e] - pdf[s]).sort_values(
+            ["_sz", s, e], ascending=[False, True, True], kind="mergesort"
+        )
+        kept: list[tuple[float, float]] = []
+        idxs = []
+        for row_i, row in order.iterrows():
+            a0, a1 = float(row[s]), float(row[e])
+            ok = True
+            for b0, b1 in kept:
+                inter = max(0.0, min(a1, b1) - max(a0, b0))
+                union = (a1 - a0) + (b1 - b0) - inter
+                iou = inter / union if union > 0 else 0.0
+                gap = max(b0 - a1, a0 - b1)  # <=0 → overlapping or touching
+                if iou > iou_threshold or (drop_touching and gap <= 0):
+                    ok = False
+                    break
+            if ok:
+                kept.append((a0, a1))
+                idxs.append(row_i)
+        return pdf.loc[sorted(idxs)]
+
+    return df.groupBy(id_col).applyInPandas(_dedupe, schema=schema)

@@ -330,6 +330,87 @@ FROM events
 """
 
 
+def q_kv_pairs(spark, sf):
+    """F16 FULL key/value extraction (reference extract_json_keys,
+    utils/content_extraction.py:150-189): `Key: Value` then `Key - Value`
+    per line, line_N fallback when nothing matches, duplicate keys last-win.
+    Semi-structured input is synthesized deterministically from document
+    columns so all three paths (colon, dash, fallback) and the duplicate-key
+    rule are exercised; docs with doc_id % 7 == 0 keep their raw pattern-free
+    text → fallback path."""
+    from doc_quality_check_spark.functions.text import kv_entries
+
+    d = t(spark, sf, "documents")
+    src = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.col("text")).otherwise(
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("DocId: "), F.col("doc_id").cast("string")),
+                F.concat(F.lit("Lang - "), F.col("lang")),
+                F.concat(F.lit("Source: "), F.col("source")),
+                F.concat(F.lit("Lang - "), F.upper(F.col("lang"))),
+                F.lit("   "),
+            )
+        ).alias("kvtext"),
+    )
+    e = src.select("doc_id", F.explode(kv_entries("kvtext")).alias("e"))
+    return (
+        e.groupBy("doc_id", F.col("e.key").alias("key"))
+        .agg(F.max_by("e.value", "e.idx").alias("value"))
+    )
+
+
+SQL_KV_PAIRS = r"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text
+              ELSE 'DocId: ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                   'Lang - ' || lang || chr(10) ||
+                   'Source: ' || source || chr(10) ||
+                   'Lang - ' || upper(lang) || chr(10) || '   '
+         END AS kvtext
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, kvtext,
+         unnest(string_split(kvtext, chr(10))) AS line,
+         generate_subscripts(string_split(kvtext, chr(10)), 1) AS i
+  FROM src
+),
+m AS (
+  SELECT doc_id, i,
+    CASE WHEN regexp_matches(line, '^\s*([^:]+):\s*(.+)$')
+         THEN regexp_replace(regexp_extract(line, '^\s*([^:]+):\s*(.+)$', 1), '^\s+|\s+$', '', 'g')
+         WHEN regexp_matches(line, '^\s*([^-\n]+)-\s*(.+)$')
+         THEN regexp_replace(regexp_extract(line, '^\s*([^-\n]+)-\s*(.+)$', 1), '^\s+|\s+$', '', 'g')
+    END AS key,
+    CASE WHEN regexp_matches(line, '^\s*([^:]+):\s*(.+)$')
+         THEN regexp_replace(regexp_extract(line, '^\s*([^:]+):\s*(.+)$', 2), '^\s+|\s+$', '', 'g')
+         WHEN regexp_matches(line, '^\s*([^-\n]+)-\s*(.+)$')
+         THEN regexp_replace(regexp_extract(line, '^\s*([^-\n]+)-\s*(.+)$', 2), '^\s+|\s+$', '', 'g')
+    END AS value
+  FROM ln
+),
+matched AS (SELECT * FROM m WHERE key IS NOT NULL),
+fb AS (
+  SELECT l.doc_id, l.i,
+         'line_' || CAST(l.i AS VARCHAR) AS key,
+         regexp_replace(l.line, '^\s+|\s+$', '', 'g') AS value
+  FROM ln l
+  WHERE regexp_replace(l.line, '^\s+|\s+$', '', 'g') <> ''
+    AND regexp_replace(l.kvtext, '^\s+|\s+$', '', 'g') <> ''
+    AND l.doc_id NOT IN (SELECT doc_id FROM matched)
+),
+allm AS (
+  SELECT doc_id, i, key, value FROM matched
+  UNION ALL SELECT doc_id, i, key, value FROM fb
+)
+SELECT doc_id, key, arg_max(value, i) AS value
+FROM allm GROUP BY doc_id, key
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -763,6 +844,63 @@ FROM j
 """
 
 
+_RECLASS_BACK = ["scan", "merge", "sort"]
+_RECLASS_FRONT = ["table", "row", "window", "filter"]
+
+
+def q_priority_reclass(spark, sf):
+    """C7 priority reclassification with recorded detection_method
+    (reference identity_detection.py:162-187): marker-count rule beats
+    back-keyword rule beats front-keyword rule beats length tie-break; every
+    row carries WHY it was classified. Marker/catalogs retargeted to the
+    documents vocabulary ('agg' as the MRZ-marker analog)."""
+    from doc_quality_check_spark.functions.classify import priority_reclassify
+
+    d = t(spark, sf, "documents")
+    s = priority_reclassify(
+        "text", _RECLASS_BACK, _RECLASS_FRONT,
+        marker="agg", marker_min=3, short_len=300,
+    )
+    return d.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.label").alias("label"),
+        F.col("s.detection_method").alias("detection_method"),
+    )
+
+
+def _reclass_sql() -> str:
+    back = " + ".join(
+        f"CASE WHEN lower(text) LIKE '%{k}%' THEN 1 ELSE 0 END" for k in _RECLASS_BACK
+    )
+    front = " + ".join(
+        f"CASE WHEN lower(text) LIKE '%{k}%' THEN 1 ELSE 0 END" for k in _RECLASS_FRONT
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST((length(text) - length(replace(text, 'agg', ''))) / 3 AS INT) AS mrz_score,
+         ({back}) AS back_score,
+         ({front}) AS front_score,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN mrz_score >= 3 THEN 'back'
+       WHEN back_score > 0 AND back_score >= front_score THEN 'back'
+       WHEN front_score > 0 AND front_score > back_score THEN 'front'
+       WHEN front_score > 0 AND n < 300 THEN 'front'
+       WHEN front_score > 0 THEN 'back'
+       ELSE NULL END AS label,
+  CASE WHEN mrz_score >= 3 THEN 'mrz_pattern'
+       WHEN back_score > 0 AND back_score >= front_score THEN 'back_keywords'
+       WHEN front_score > 0 AND front_score > back_score THEN 'front_keywords'
+       WHEN front_score > 0 AND n < 300 THEN 'front_keywords_priority'
+       WHEN front_score > 0 THEN 'back_keywords_priority'
+       ELSE NULL END AS detection_method
+FROM a
+"""
+
+
 def q_sessionize(spark, sf):
     """Gaps-and-islands sessionization: a new session starts when a user's
     inter-event gap exceeds 30 minutes; per-session stats. The W-series
@@ -811,6 +949,23 @@ SELECT user_id, session_id, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS session_value
 FROM s GROUP BY user_id, session_id
 """
+
+
+def q_iou_dedupe(spark, sf):
+    """O2 greedy IoU overlap removal (rows-only driver check: the greedy
+    largest-first loop is inherently sequential per group and has no
+    single-pass SQL form — correctness is pinned by
+    tests/test_segmentation.py::test_iou_dedupe_segments). Intervals are
+    synthesized deterministically from the events table."""
+    from doc_quality_check_spark.operators.segmentation import iou_dedupe_segments
+
+    ev = t(spark, sf, "events")
+    segs = ev.select(
+        F.col("user_id").cast("string").alias("clip_id"),
+        (F.col("value") * 10.0).alias("seg_start_ms"),
+        (F.col("value") * 10.0 + ((F.col("event_id") % 5) + 1) * 20.0).alias("seg_end_ms"),
+    )
+    return iou_dedupe_segments(segs)
 
 
 def q_heavy_hitters(spark, sf):
@@ -1031,6 +1186,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "marker_count": q_marker_count,
     "kv_extract": q_kv_extract,
+    "kv_pairs": q_kv_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -1046,7 +1202,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "margin_classification": q_margin_classification,
     "confidence_formula": q_confidence_formula,
     "freq_boost": q_freq_boost,
+    "priority_reclass": q_priority_reclass,
     "sessionize": q_sessionize,
+    "iou_dedupe": q_iou_dedupe,
     "heavy_hitters": q_heavy_hitters,
     "self_drift": q_self_drift,
     "moving_avg": q_moving_avg,
@@ -1065,6 +1223,7 @@ ORACLES_EXT: dict[str, str] = {
     "doc_fingerprint": SQL_FINGERPRINT,
     "marker_count": SQL_MARKER,
     "kv_extract": SQL_KV,
+    "kv_pairs": SQL_KV_PAIRS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "minhash_signatures": SQL_MINHASH_SIG,
@@ -1080,6 +1239,7 @@ ORACLES_EXT: dict[str, str] = {
     "margin_classification": _margin_sql(),
     "confidence_formula": _confidence_sql(),
     "freq_boost": SQL_FREQ_BOOST,
+    "priority_reclass": _reclass_sql(),
     "sessionize": SQL_SESSIONIZE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "self_drift": SQL_SELF_DRIFT,

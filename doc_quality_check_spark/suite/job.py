@@ -137,6 +137,8 @@ class ValidationJob:
             "suite_run": round(run_sec, 3),
             "result_write": round(write_sec, 3),
         }
+        if runner.effective_payload_mode is not None:
+            m.input_lineage["payload_mode"] = runner.effective_payload_mode
         self.manifests.save(m)
 
         ts = time.strftime("%Y%m%d_%H%M%S", time.gmtime())

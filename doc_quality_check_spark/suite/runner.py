@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from doc_quality_check_spark.functions.audio import with_audio_metrics
+from doc_quality_check_spark.functions.audio import with_audio_metrics, with_payload_metrics
 from doc_quality_check_spark.operators.aggregates import drift_ks, drift_psi, histogram
 from doc_quality_check_spark.operators.joins import duplicate_keys, referential_violations
 from doc_quality_check_spark.suite.compiler import PASS_PREFIX, row_violations, with_row_checks
@@ -91,6 +91,8 @@ class RunResult:
 class SuiteRunner:
     def __init__(self, suite: CheckSuite):
         self.suite = suite
+        # set by run() when payload checks execute: which F5 mode actually ran
+        self.effective_payload_mode: str | None = None
 
     # ------------------------------------------------------------------
     def run(
@@ -124,7 +126,19 @@ class SuiteRunner:
         needs_payload = payload and any(c.kind.startswith("payload_") for c in row_checks)
         df = clips
         if needs_payload:
-            df = with_audio_metrics(df)
+            # F5 mode dispatch: a per-check params["mode"] wins over the
+            # suite-wide settings["payload_mode"]; default 'accurate'.
+            payload_checks = [c for c in row_checks if c.kind.startswith("payload_")]
+            mode = suite.settings.get("payload_mode", "accurate")
+            for c in payload_checks:
+                if c.params.get("mode"):
+                    mode = c.params["mode"]
+            df, self.effective_payload_mode = with_payload_metrics(
+                df,
+                checks=payload_checks,
+                mode=mode,
+                escalate_below=float(suite.settings.get("escalate_below", 15.0)),
+            )
         else:
             row_checks = [c for c in row_checks if not c.kind.startswith("payload_")]
             df = df.drop("bytes")
@@ -187,9 +201,12 @@ class SuiteRunner:
             F.sum(F.when(F.col("status") == "Valid", 1).otherwise(0)).alias("n_valid"),
             F.sum(F.when(F.col("status") == "Invalid", 1).otherwise(0)).alias("n_invalid"),
             *(
-                [F.avg("decode_conf").alias("avg_decode_conf"),
-                 F.avg("energy_ratio").alias("avg_energy_ratio")]
-                if needs_payload else []
+                [F.avg("decode_conf").alias("avg_decode_conf")]
+                if "decode_conf" in df.columns else []
+            ),
+            *(
+                [F.avg("energy_ratio").alias("avg_energy_ratio")]
+                if "energy_ratio" in df.columns else []
             ),
             F.approx_count_distinct(id_col).alias("n_distinct_ids"),
         )

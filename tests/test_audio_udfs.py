@@ -90,3 +90,86 @@ def test_per_row_pcm_invariant(spark, clips_dir):
         assert len(got) == len(expected)
         assert snr_db(expected, got) >= 30.0
         assert isinstance(r["transcript"], str) and len(r["transcript"]) > 0
+
+
+def test_payload_mode_dispatcher(spark, clips_dir):
+    """F5: the 4-mode dispatcher routes to the right physical plan and
+    escalates when a mode can't serve the enabled checks (reference
+    calculate_ocr_confidence, checks/confidence_check.py:421-455)."""
+    from doc_quality_check_spark.functions.audio import with_payload_metrics
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.spec import Check
+
+    clips = load_clips(spark, clips_dir).limit(200)
+    decode_only = [Check("c", "payload_decode", "bytes")]
+
+    # superfast: header probe only — no PCM decode, no energy column
+    df, eff = with_payload_metrics(clips, checks=decode_only, mode="superfast")
+    assert eff == "superfast"
+    assert "energy_ratio" not in df.columns and "bytes" not in df.columns
+    rows = df.select("decode_ok", "decode_conf", "header_sr", "conf_tier").collect()
+    assert all(r["conf_tier"] == "cheap" for r in rows)
+    assert any(r["decode_ok"] for r in rows)
+
+    # fast: full decode, spectral_flatness NULL, conf > 0 for real clips
+    df, eff = with_payload_metrics(clips, checks=decode_only, mode="fast")
+    assert eff == "fast"
+    rows = df.select("decode_ok", "spectral_flatness", "decode_conf").collect()
+    ok = [r for r in rows if r["decode_ok"]]
+    assert ok and all(r["spectral_flatness"] is None for r in rows)
+    assert any(r["decode_conf"] > 0 for r in ok)
+
+    # balanced: mixed tiers, every row has decode_ok/header_sr
+    df, eff = with_payload_metrics(clips, checks=decode_only, mode="balanced")
+    assert eff == "balanced"
+    tiers = {r["conf_tier"] for r in df.select("conf_tier").distinct().collect()}
+    assert "cheap" in tiers
+    assert df.filter(F.col("decode_ok").isNull()).count() == 0
+
+    # accurate: full metrics with spectral flatness populated
+    df, eff = with_payload_metrics(clips, checks=decode_only, mode="accurate")
+    assert eff == "accurate"
+    assert df.filter(F.col("decode_ok") & F.col("spectral_flatness").isNull()).count() == 0
+
+    # unknown mode → balanced (the reference's else-branch)
+    _, eff = with_payload_metrics(clips, checks=decode_only, mode="bogus")
+    assert eff == "balanced"
+
+    # energy check present → superfast/balanced escalate to fast
+    energy = [Check("e", "payload_energy", "bytes")]
+    _, eff = with_payload_metrics(clips, checks=energy, mode="superfast")
+    assert eff == "fast"
+    _, eff = with_payload_metrics(clips, checks=energy, mode="balanced")
+    assert eff == "fast"
+
+
+def test_suite_mode_knob_reaches_dispatcher(spark, clips_dir):
+    """The Check params['mode'] / suite settings['payload_mode'] knobs select
+    the physical decode path through SuiteRunner."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).limit(200)
+    suite = CheckSuite(
+        name="modes", partition_by=["part_key"],
+        checks=[Check("dec", "payload_decode", "bytes",
+                      {"threshold": 15.0, "mode": "superfast"})],
+    )
+    runner = SuiteRunner(suite)
+    res = runner.run(clips)
+    assert runner.effective_payload_mode == "superfast"
+    assert "energy_ratio" not in res.checked.columns
+    assert res.verdicts.count() > 0
+    res.unpersist()
+
+    suite2 = CheckSuite(
+        name="modes2", partition_by=["part_key"],
+        settings={"payload_mode": "fast"},
+        checks=[Check("dec", "payload_decode", "bytes", {"threshold": 15.0})],
+    )
+    runner2 = SuiteRunner(suite2)
+    res2 = runner2.run(clips)
+    assert runner2.effective_payload_mode == "fast"
+    assert res2.checked.filter(F.col("spectral_flatness").isNotNull()).count() == 0
+    res2.unpersist()

@@ -129,3 +129,33 @@ def test_voiced_segments_merge_runs(spark, clips_dir):
     for s in segs:
         assert s["seg_end_ms"] > s["seg_start_ms"]
         assert s["avg_energy"] >= 0.05
+
+
+def test_iou_dedupe_segments(spark):
+    """O2: greedy largest-first IoU/overlap removal
+    (document_segmentation.py:143-228, 1-D analog)."""
+    from doc_quality_check_spark.operators.segmentation import iou_dedupe_segments
+
+    rows = [
+        # clip A: big (0,100); (50,120) overlaps it; (200,300) disjoint;
+        # (300,310) touches 300 → dropped under the separation rule
+        ("A", 0.0, 100.0), ("A", 50.0, 120.0), ("A", 200.0, 300.0), ("A", 300.0, 310.0),
+        # clip B: single segment survives
+        ("B", 10.0, 20.0),
+        # clip C: identical sizes → deterministic tie-break on start
+        ("C", 0.0, 50.0), ("C", 25.0, 75.0),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, seg_start_ms double, seg_end_ms double")
+
+    kept = {(r["clip_id"], r["seg_start_ms"], r["seg_end_ms"])
+            for r in iou_dedupe_segments(df).collect()}
+    assert kept == {("A", 0.0, 100.0), ("A", 200.0, 300.0), ("B", 10.0, 20.0),
+                    ("C", 0.0, 50.0)}
+
+    # pure-IoU mode: touching segments survive, high-IoU overlaps do not
+    kept2 = {(r["clip_id"], r["seg_start_ms"], r["seg_end_ms"])
+             for r in iou_dedupe_segments(df, drop_touching=False).collect()}
+    assert ("A", 300.0, 310.0) in kept2           # touch → IoU 0 → kept
+    assert ("A", 50.0, 120.0) not in kept2        # IoU 50/120 > 0.3 → dropped
+    # C: IoU 25/75 = 0.33 > 0.3 → second one dropped even without touching rule
+    assert ("C", 25.0, 75.0) not in kept2

@@ -108,3 +108,48 @@ def test_pair_repair_rules(spark):
     out = {r["doc_id"]: r["repaired_label"] for r in
            pair_repair(df, "grp", "lang", "w", "doc_id").collect()}
     assert out == {1: "en", 2: "en", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_kv_entries_and_map(spark):
+    """F16 parity: colon-first, dash fallback per line, line_N fallback when
+    nothing matches, duplicate keys last-win — semantics of the reference
+    extract_json_keys (utils/content_extraction.py:150-189)."""
+    from doc_quality_check_spark.functions.text import extract_kv_map
+
+    cases = [
+        (0, "Name: John\nAge - 30\nName: Jane",
+         {"Name": "Jane", "Age": "30"}),                 # last-wins
+        (1, "plain text\n\n  spaced line  ",
+         {"line_1": "plain text", "line_3": "spaced line"}),  # original indices
+        (2, "", {}),
+        (3, "   \n\t", {}),                               # whitespace-only
+        (4, "a: b: c", {"a": "b: c"}),                    # greedy key stop at first ':'
+        (5, "x - y\nno pattern", {"x": "y"}),             # partial match → NO fallback
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id int, txt string")
+    got = {r["id"]: dict(r["m"]) for r in
+           df.select("id", extract_kv_map("txt").alias("m")).collect()}
+    for i, _, exp in cases:
+        assert got[i] == exp, (i, got[i], exp)
+
+
+def test_priority_reclassify_chain(spark):
+    """C7: ordered rule chain + recorded detection_method
+    (identity_detection.py:162-187)."""
+    from doc_quality_check_spark.functions.classify import priority_reclassify
+
+    cases = [
+        (0, "x <<<<< y scan table", "back", "mrz_pattern"),     # marker wins over all
+        (1, "signature expiry nome", "back", "back_keywords"),  # back >= front
+        (2, "nome cognome photo signature", "front", "front_keywords"),
+        (3, "nothing relevant", None, None),
+        (4, None, None, None),                                   # null text
+    ]
+    back = ["signature", "expiry", "mrz"]
+    front = ["nome", "cognome", "photo"]
+    df = spark.createDataFrame([(i, t) for i, t, _, _ in cases], "id int, txt string")
+    s = priority_reclassify("txt", back, front, marker="<", marker_min=5, short_len=200)
+    got = {r["id"]: (r["s"]["label"], r["s"]["detection_method"])
+           for r in df.select("id", s.alias("s")).collect()}
+    for i, _, lab, meth in cases:
+        assert got[i] == (lab, meth), (i, got[i])
