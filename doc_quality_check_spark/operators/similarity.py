@@ -6,9 +6,10 @@ document/clip embeddings (near-dup mining, retrieval eval). Two tiers:
 - :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
   set against the full corpus, dot products as Catalyst higher-order
   functions (``zip_with`` + ``aggregate``) entirely JVM-side — no Python in
-  the hot path — then one window per query for the top-k cut. At 100 TB this
-  is the "small query set × huge corpus" pattern: the corpus is scanned once,
-  never shuffled (only the k survivors per query move).
+  the arithmetic path — then a per-partition pre-cut (selection only) so
+  each partition forwards at most Q·k survivors to the final window. At
+  100 TB this is the "small query set × huge corpus" pattern: the corpus is
+  scanned once, never shuffled — only the per-partition survivors move.
 
 - :func:`sign_lsh_topk` — the scale path for query sets too large to
   broadcast-scan: random-hyperplane-style sign buckets (here: sign bits of
@@ -44,6 +45,45 @@ def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> D
     return df.withColumn(out, F.expr(_norm_expr(vec_col)))
 
 
+def _topk_per_query(scored: DataFrame, k: int, partial: bool = True) -> DataFrame:
+    """Exact deterministic top-k per query over (query_id, neighbor_id,
+    cosine) rows, ranked by (cosine desc, neighbor_id asc).
+
+    ``partial=True`` inserts a per-partition pre-cut (mapInPandas with
+    iterator accumulation — selection only, NO arithmetic, so results are
+    bit-identical to the plain window): each input partition emits at most
+    Q·k survivor rows, so the global row_number window shuffles
+    P·Q·k rows instead of ALL N·Q scored rows. At 100 TB the scored
+    relation is the corpus × query cross product — shuffling it is the
+    bottleneck the pre-cut removes; the survivors are tiny.
+
+    NaN cosines rank first (Spark treats NaN as largest in DESC order);
+    NULL cosines are indistinguishable from NaN inside the Arrow batch, a
+    corner that cannot arise from non-zero-norm vectors."""
+    if partial:
+        import pandas as pd
+
+        out_schema = scored.schema
+
+        def _precut(batches):
+            best = None
+            for pdf in batches:
+                cur = pd.concat([best, pdf]) if best is not None else pdf
+                cur = cur.sort_values(
+                    ["query_id", "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                    na_position="first",
+                    kind="mergesort",
+                )
+                best = cur.groupby("query_id", sort=False).head(k)
+            if best is not None:
+                yield best
+
+        scored = scored.mapInPandas(_precut, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,11 +111,7 @@ def cosine_topk(
         F.expr(_dot_expr("_qv", "_cv")) / (F.col("_qn") * F.col("_cn")), 6
     ).alias("cosine")
     scored = pairs.select("query_id", "neighbor_id", cos)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def sign_bucket_expr(vec_col: str, n_bits: int = 8) -> F.Column:
@@ -118,8 +154,7 @@ def sign_lsh_topk(
         F.expr(_dot_expr("_qv", "_cv")) / (F.col("_qn") * F.col("_cn")), 6
     ).alias("cosine")
     scored = pairs.select("query_id", "neighbor_id", cos)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return _topk_per_query(scored, k)
 
 
 def ivf_assignments(
@@ -211,8 +246,7 @@ def ivf_topk(
     scored = cand.select("query_id", "neighbor_id", cos.alias("cosine")).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return _topk_per_query(scored, k)
 
 
 def cosine_neardup_pairs(

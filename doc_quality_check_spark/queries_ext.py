@@ -1105,14 +1105,22 @@ def q_chunk_fanout(spark, sf):
     )
 
 
+# The numbers CTE caps the oracle's fan-out at 10000 chunks (1M chars/doc;
+# DuckDB's generate_series cannot take a lateral data-derived bound). Any
+# document beyond the cap emits a sentinel row instead of silently
+# truncating, so the driver's hash compare fails LOUDLY if the fixture ever
+# outgrows the bound (Spark's chunk_fanout is unbounded).
 SQL_CHUNK_FANOUT = """
-WITH nums AS (SELECT CAST(g AS INT) AS g FROM generate_series(0, 255) t(g))
+WITH nums AS (SELECT CAST(g AS INT) AS g FROM generate_series(0, 9999) t(g))
 SELECT doc_id,
        g AS chunk_idx,
        substr(text, g * 100 + 1, 100) AS chunk_text,
        length(substr(text, g * 100 + 1, 100)) AS chunk_len
 FROM documents JOIN nums
   ON g < greatest(CAST(ceil(length(text) / 100.0) AS INT), 1)
+UNION ALL
+SELECT doc_id, -1, 'ORACLE_CHUNK_BOUND_EXCEEDED', -1
+FROM documents WHERE length(text) > 100 * 10000
 """
 
 

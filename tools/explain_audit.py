@@ -87,9 +87,19 @@ def main() -> None:
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
     audit("dedup_jaccard partial agg", "partial_count" in p or "HashAggregate" in p)
 
-    # 7. cosine_topk: corpus side never shuffles (broadcast of queries only)
+    # 7. cosine_topk: corpus side never shuffles (broadcast of queries only),
+    # and the per-partition pre-cut sits BEFORE the top-k window's exchange so
+    # only P*Q*k survivor rows shuffle, not the full corpus×queries product
     p = plan_of(QUERIES["cosine_topk"](spark, SF))
     audit("cosine_topk broadcasts queries", "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+    audit(
+        "cosine_topk pre-cut before window shuffle",
+        "MapInPandas" in p
+        and "Exchange" in p
+        and p.index("MapInPandas") > p.index("Exchange"),
+        # physical plans print top-down: the Window's Exchange appears above
+        # (= consumes) the MapInPandas pre-cut
+    )
 
     print("FAILURES:" if failures else "all plan audits pass", failures or "")
     spark.stop()
