@@ -16,8 +16,9 @@ Scale notes (100 TB design point):
   exceeds a cap before the self-join — the standard positional-filter trick:
   at threshold t, a near-dup pair shares many shingles, so dropping the few
   ultra-hot shingles (stop-shingles) cannot drop a qualifying pair's ENTIRE
-  overlap; it only bounds the worst self-join bucket. Left None for oracle
-  parity at test scale.
+  overlap; it only bounds the worst self-join bucket. Defaults to
+  DEFAULT_MAX_SHINGLE_DF=1000, which never engages at fixture scale
+  (measured max df 7 at sf0.01 / 25 at sf0.1) so oracle parity holds.
 - MinHash/LSH replaces the all-shared-shingle join with a band-bucket join:
   k hash mins per doc, b bands of r rows; candidate volume per band bucket is
   tiny for non-duplicates. Signatures are 16 BIGINTs per doc — the only
@@ -332,7 +333,60 @@ def simhash_pairs(
 def dedup_keep_first(pairs: DataFrame, df: DataFrame, id_col: str) -> DataFrame:
     """Given near-dup pairs, mark rows to DROP: every id that appears as the
     greater member of a pair with a smaller surviving id (greedy min-id
-    representative — one window, no iterative connected components; for full
-    transitive clustering see large-scale connected-components literature)."""
+    representative — one pass, no iteration). For full transitive clustering
+    use :func:`connected_components` below and keep min(component)."""
     drop = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
     return df.join(drop, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive dedup clustering: (id, component) where ``component`` is
+    the smallest id reachable through the near-dup pair graph — the full
+    clustering that :func:`dedup_keep_first`'s greedy one-pass rule
+    approximates (its docstring's promised follow-up).
+
+    Iterative min-label propagation: each round, every vertex takes the min
+    of its own label and its neighbors' labels (one equi-join + one groupBy
+    per round, all partial-aggregated map-side). Rounds needed = graph
+    diameter; near-dup graphs are unions of near-cliques (diameter 2-3), so
+    this converges in a handful of rounds — ``localCheckpoint`` cuts the
+    growing lineage each round so plan size stays bounded. The driver loop
+    only checks a scalar convergence count; all data movement is
+    distributed. For adversarial long-chain graphs, swap the propagation
+    body for large-star/small-star (O(log n) rounds, same join machinery).
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    edges = edges.union(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).dropDuplicates().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("s").alias("id")).dropDuplicates()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["t"] == labels["id"])
+            .select(edges["s"].alias("id"), F.col("comp"))
+        )
+        new = (
+            labels.select("id", "comp").unionByName(nbr)
+            .groupBy("id").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", "comp")

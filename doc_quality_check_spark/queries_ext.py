@@ -438,6 +438,39 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clusters: connected components over the Jaccard
+    pair graph (iterative min-label propagation, operators/dedup.py).
+    Output: (doc_id, component) with component = min doc_id reachable."""
+    from doc_quality_check_spark.operators.dedup import connected_components
+
+    d = t(spark, sf, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    # transitive closure via recursive CTE (fixture pair graph is tiny);
+    # component = min reachable id, matching the Spark label propagation
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, t AS r FROM edges
+  UNION
+  SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT id AS doc_id, least(id, min(r)) AS component
+FROM reach GROUP BY id
+"""
+
+
 def q_minhash_signatures(spark, sf):
     d = t(spark, sf, "documents")
     return minhash_signatures(d, "doc_id", "text")
@@ -1197,6 +1230,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_pairs": q_kv_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash_values": q_simhash_values,
@@ -1234,6 +1268,7 @@ ORACLES_EXT: dict[str, str] = {
     "kv_pairs": SQL_KV_PAIRS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_clusters": _dedup_clusters_sql(),
     "minhash_signatures": SQL_MINHASH_SIG,
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "simhash_values": SQL_SIMHASH_VALUES,

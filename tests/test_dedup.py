@@ -64,3 +64,16 @@ def test_dedup_keep_first_drops_higher_ids(docs):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert kept_ids.isdisjoint(dropped)
     assert kept.count() == docs.count() - len(dropped)
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation converges on a chain (diameter > 1) and keeps
+    disjoint clusters separate."""
+    from doc_quality_check_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (40, 41), (41, 42), (42, 40)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 40: 40, 41: 40, 42: 40}
