@@ -157,3 +157,44 @@ def test_job_deterministic_verdicts(spark, clips_dir, tmp_path):
     va = sorted(map(str, job_a.run(clips, payload=False).result.verdicts.collect()))
     vb = sorted(map(str, job_b.run(clips, payload=False).result.verdicts.collect()))
     assert va == vb
+
+
+def test_job_resume_multicolumn_partition_key(spark, clips_dir, tmp_path):
+    """Multi-column partition_by: the resume filter must use the same
+    '/'-joined part_key expression as the verdict groupBy (round-1 latent
+    bug: the filter matched only the first column)."""
+    out = str(tmp_path / "job_multicol")
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(600)
+    suite = CheckSuite(
+        name="multicol",
+        partition_by=["part_key", "codec"],
+        checks=[
+            Check("clip_id_not_null", "not_null", "clip_id", priority=1),
+            Check("dur_range", "in_range", "dur_ms", {"min": 1, "max": 120000}, priority=2),
+        ],
+    )
+    job = ValidationJob(suite, out)
+    jr1 = job.run(clips, payload=False)
+    m1 = job.manifests.load(jr1.manifest.run_id)
+    keys = [pk for pk in m1.partitions if pk != GLOBAL_PART]
+    assert all("/" in pk for pk in keys)          # composite keys recorded
+    done = sorted(keys)[:2]
+    m1.partitions = {pk: m1.partitions[pk] for pk in done}
+    m1.status = "running"
+    job.manifests.save(m1)
+
+    jr2 = job.run(clips, payload=False, resume=True)
+    assert jr2.manifest.input_lineage["resumed_from_partitions"] == sorted(done)
+    # skipped units were not re-validated: their rows are absent from checked
+    from pyspark.sql import functions as F2
+    pk_expr = F2.concat_ws("/", F2.col("part_key").cast("string"),
+                           F2.col("codec").cast("string"))
+    revalidated = {
+        r["pk"] for r in
+        jr2.result.checked.select(pk_expr.alias("pk")).distinct().collect()
+    }
+    assert revalidated.isdisjoint(set(done))
+    # but the merged verdict table still covers them
+    parts = {r["part_key"] for r in
+             jr2.result.verdicts.select("part_key").distinct().collect()}
+    assert set(done) <= parts
