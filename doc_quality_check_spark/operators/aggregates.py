@@ -95,6 +95,63 @@ def heavy_hitters(df: DataFrame, column: str, min_count: int) -> DataFrame:
     )
 
 
+# Count-min hash family h_i(x) = ((a_i * H(x) + b_i) mod P) mod width over the
+# shared 32-bit md5-prefix token hash (same H as the dedup operators, so the
+# DuckDB oracle reproduces the sketch bit-for-bit). P = smallest prime > 2^32.
+CMS_PRIME = 4294967311
+CMS_COEFFS: list[tuple[int, int]] = [(131, 7), (263, 101), (397, 211), (523, 307)]
+
+
+def _cms_coords(column: str, width: int, depth: int) -> F.Column:
+    """explode() of the depth (row, bucket) sketch coordinates of a value."""
+    h = f"CAST(conv(substr(md5(CAST({column} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    return F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({i} AS row, CAST((({a} * {h} + {b}) % {CMS_PRIME}) % {width} AS INT) AS bucket)"
+            for i, (a, b) in enumerate(CMS_COEFFS[:depth])
+        )
+        + "))"
+    )
+
+
+def count_min_sketch(df: DataFrame, column: str, width: int = 1024,
+                     depth: int = 4) -> DataFrame:
+    """Build a count-min sketch of ``column``'s value frequencies →
+    (row, bucket, cnt), ``depth`` rows × ``width`` counters.
+
+    ONE shuffle of at most depth×width rows regardless of input size: each
+    value explodes to its depth (row, bucket) coordinates map-side, then a
+    single partial-aggregated groupBy. The sketch is mergeable (sum counters
+    element-wise), which is what makes it the 10^12-row path: per-partition
+    sketches combine without re-reading data, unlike an exact value count
+    whose state is unbounded."""
+    return (
+        df.select(_cms_coords(column, width, depth).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimates(df: DataFrame, column: str, width: int = 1024,
+                        depth: int = 4) -> DataFrame:
+    """Per-distinct-value count-min frequency estimate → (value, est).
+    est = min over the depth rows of the value's counter; never
+    underestimates, overestimates by at most ~N/width w.h.p. Distinct values
+    join the (tiny, broadcastable) sketch on the hash coordinates."""
+    sketch = count_min_sketch(df, column, width, depth)
+    probes = (
+        df.select(F.col(column).alias("value")).distinct()
+        .select("value", _cms_coords("value", width, depth).alias("c"))
+        .select("value", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("value")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
 def drift_psi(
     current_hist: DataFrame, baseline_hist: DataFrame, epsilon: float = 1e-6
 ) -> DataFrame:

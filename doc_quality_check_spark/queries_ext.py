@@ -1018,6 +1018,46 @@ GROUP BY tok HAVING count(*) >= 100
 """
 
 
+def q_heavy_hitters_cms(spark, sf):
+    """Approximate heavy hitters via a count-min sketch — the mergeable,
+    bounded-state scale path the exact heavy_hitters baseline anchors.
+    The DuckDB oracle rebuilds the identical sketch (shared md5-prefix hash
+    family), so estimates match bit-for-bit."""
+    from doc_quality_check_spark.operators.aggregates import count_min_estimates
+
+    d = t(spark, sf, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    return (
+        count_min_estimates(toks, "tok", width=1024, depth=4)
+        .filter(F.col("est") >= 100)
+        .withColumnRenamed("value", "tok")
+    )
+
+
+def _cms_sql() -> str:
+    from doc_quality_check_spark.operators.aggregates import CMS_COEFFS, CMS_PRIME
+
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(CMS_COEFFS))
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
+),
+hashes AS (
+  SELECT tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+coeffs(i, a, b) AS (VALUES {values}),
+coords AS (
+  SELECT tok, i, CAST(((a * h + b) % {CMS_PRIME}) % 1024 AS INT) AS bucket
+  FROM hashes, coeffs
+),
+sketch AS (SELECT i, bucket, count(*) AS cnt FROM coords GROUP BY i, bucket),
+probes AS (SELECT DISTINCT tok, i, bucket FROM coords)
+SELECT p.tok AS tok, min(s.cnt) AS est
+FROM probes p JOIN sketch s ON p.i = s.i AND p.bucket = s.bucket
+GROUP BY p.tok HAVING min(s.cnt) >= 100
+"""
+
+
 def q_self_drift(spark, sf):
     """A12 round trip: a snapshot drifted against itself is exactly zero PSI
     and zero KS (the runner's baseline-writer path)."""
@@ -1248,6 +1288,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "iou_dedupe": q_iou_dedupe,
     "heavy_hitters": q_heavy_hitters,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     "self_drift": q_self_drift,
     "moving_avg": q_moving_avg,
     "cumulative_share": q_cumulative_share,
@@ -1285,6 +1326,7 @@ ORACLES_EXT: dict[str, str] = {
     "priority_reclass": _reclass_sql(),
     "sessionize": SQL_SESSIONIZE,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "heavy_hitters_cms": _cms_sql(),
     "self_drift": SQL_SELF_DRIFT,
     "moving_avg": SQL_MOVING_AVG,
     "cumulative_share": SQL_CUM_SHARE,

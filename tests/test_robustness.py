@@ -180,3 +180,22 @@ def test_aqe_skew_join_splits_hot_partition(spark, clips_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_count_min_never_underestimates(spark):
+    """CMS invariant: est >= true count for every value; overestimate bounded
+    by ~N/width in expectation (loose 5x check here)."""
+    from doc_quality_check_spark.operators.aggregates import count_min_estimates
+
+    rows = [(f"v{i % 50}",) for i in range(5000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "value string")
+    truth = {r["value"]: r["cnt"] for r in
+             df.groupBy("value").agg(F.count("*").alias("cnt")).collect()}
+    est = {r["value"]: r["est"] for r in
+           count_min_estimates(df, "value", width=256, depth=4).collect()}
+    assert set(est) == set(truth)
+    n = sum(truth.values())
+    for v, t in truth.items():
+        assert est[v] >= t, (v, est[v], t)
+        assert est[v] <= t + 5 * n / 256
+    assert est["hot"] >= 500
