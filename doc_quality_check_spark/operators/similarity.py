@@ -274,3 +274,34 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def train_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Train the IVF coarse quantizer with Spark MLlib k-means — the
+    production codebook path (the deterministic corpus-prefix codebook the
+    oracle queries use is the reproducible stand-in). Lloyd's iterations are
+    fully distributed: one corpus pass per iteration, centers broadcast.
+    Returns (id_col, vec_col) rows compatible with :func:`ivf_topk` /
+    :func:`ivf_assignments`. At 10^12 rows, fit on a sample
+    (``corpus.sample(...)``) — k-means centers converge long before the full
+    corpus is seen."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, f"{id_col} long, {vec_col} array<double>"
+    )

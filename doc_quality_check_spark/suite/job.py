@@ -61,6 +61,7 @@ class ValidationJob:
         payload: bool = True,
         resume: bool = True,
         input_files: list[str] | None = None,
+        lineage: dict | None = None,
         formats: tuple[str, ...] = ("txt", "html", "json"),
     ) -> JobResult:
         # checks whose reference inputs are absent are pruned (never crash a
@@ -84,6 +85,12 @@ class ValidationJob:
             if prev is not None and prev.status != "complete":
                 completed = self.manifests.completed_partitions(prev)
         m = self.manifests.start_run(suite, input_files=input_files)
+        if lineage:
+            # source lineage (Iceberg snapshot id / parquet file list) from
+            # sources.iceberg.snapshot_lineage — the north rule's
+            # per-run (snapshot-id, file list, constraint versions) record
+            m.input_lineage["source"] = lineage
+            self.manifests.save(m)
         if completed:
             m.input_lineage["resumed_from_partitions"] = sorted(completed)
             self.manifests.save(m)
@@ -163,13 +170,21 @@ class ValidationJob:
 def main(argv: list[str]) -> None:
     """spark-submit entry: validate a clips table (Iceberg identifier or
     parquet path) with the default suite."""
-    from doc_quality_check_spark.sources.iceberg import load_clips_table
+    from doc_quality_check_spark.sources.iceberg import (
+        load_clips_table,
+        snapshot_lineage,
+    )
 
     clips_src, out_dir = argv[0], argv[1]
     spark = SparkSession.builder.appName("dqcs-validate").getOrCreate()
     clips = load_clips_table(spark, clips_src)
     job = ValidationJob(default_suite(), out_dir)
-    jr = job.run(clips, payload=True, input_files=[clips_src])
+    jr = job.run(
+        clips,
+        payload=True,
+        input_files=[clips_src],
+        lineage=snapshot_lineage(spark, clips_src),
+    )
     print(f"run {jr.manifest.run_id} complete; reports: {jr.report_paths}")
 
 

@@ -198,3 +198,19 @@ def test_job_resume_multicolumn_partition_key(spark, clips_dir, tmp_path):
     parts = {r["part_key"] for r in
              jr2.result.verdicts.select("part_key").distinct().collect()}
     assert set(done) <= parts
+
+
+def test_job_records_source_lineage(spark, clips_dir, tmp_path):
+    """snapshot_lineage → manifest: file-list lineage for parquet sources
+    (snapshot id for Iceberg on clusters with the runtime)."""
+    from doc_quality_check_spark.sources.iceberg import snapshot_lineage
+
+    out = str(tmp_path / "job_lineage")
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(200)
+    lin = snapshot_lineage(spark, clips_dir)
+    assert lin["kind"] == "parquet" and lin["n_files"] >= 1
+    job = ValidationJob(_suite(), out)
+    jr = job.run(clips, payload=False, lineage=lin)
+    m = job.manifests.load(jr.manifest.run_id)
+    assert m.input_lineage["source"]["kind"] == "parquet"
+    assert m.input_lineage["source"]["n_files"] == lin["n_files"]

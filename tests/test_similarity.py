@@ -61,3 +61,24 @@ def test_sign_lsh_candidates_share_bucket(emb, emb_np):
 def test_neardup_pairs_symmetric_bound(emb):
     pairs = cosine_neardup_pairs(emb, threshold=0.3).collect()
     assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.3 for r in pairs)
+
+
+def test_ivf_with_trained_codebook(spark, sf001_dir):
+    """MLlib k-means codebook plugs into ivf_topk; trained buckets give
+    reasonable recall vs the exact scan."""
+    from doc_quality_check_spark.operators.similarity import (
+        cosine_topk, ivf_topk, train_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf001_dir}/embeddings.parquet")
+    queries = emb.limit(5)
+    codebook = train_codebook(emb, k=4, seed=7, max_iter=5)
+    assert codebook.count() == 4
+
+    approx = ivf_topk(emb, queries, codebook, k=3, nprobe=2).collect()
+    assert approx and all(-1.0 <= r["cosine"] <= 1.0 for r in approx)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # probing half the lists should recover a sizable share of true top-3
+    assert len(ex & ap) >= len(ex) // 3
