@@ -1,5 +1,6 @@
 """applyInPandasWithState cumulative verdicts across micro-batches."""
 
+import datetime
 import glob
 import os
 import shutil
@@ -81,3 +82,77 @@ def test_cumulative_verdicts_accumulate(spark, clips_dir, tmp_path):
     # constraint) appears more than once in the update stream
     multi = got.groupBy("part_key", "constraint_id").count().filter("count > 1")
     assert multi.count() > 0
+
+
+def test_windowed_pass_rates_watermark_drops_late(spark, tmp_path):
+    """Event-time windows + watermark: on-time rows aggregate per window;
+    a record arriving later than the watermark bound is DROPPED (its
+    window's final update excludes it)."""
+    import time as _t
+
+    from doc_quality_check_spark.streaming.windowed import windowed_pass_rates
+    from doc_quality_check_spark.suite.spec import Check
+
+    src = str(tmp_path / "win_src")
+    os.makedirs(src)
+    ddl = "clip_id string, ts timestamp, dur_ms int"
+    checks = [Check("dur_range", "in_range", "dur_ms", {"min": 1, "max": 1000})]
+
+    stage = str(tmp_path / "win_stage")
+
+    def write_file(name, rows):
+        # flatten the part file so the file-source stream sees one file per
+        # batch with strictly increasing mtimes (processing order)
+        d = f"{stage}/{name}"
+        spark.createDataFrame(rows, ddl).coalesce(1).write.mode("overwrite").parquet(d)
+        import glob as _g, shutil as _sh
+        dst = f"{src}/{name}.parquet"
+        _sh.copy(_g.glob(f"{d}/part-*.parquet")[0], dst)
+        # file source orders batches by mtime — make it explicit and distinct
+        write_file.seq += 1
+        os.utime(dst, (1_700_000_000 + write_file.seq, 1_700_000_000 + write_file.seq))
+
+    write_file.seq = 0
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # batch 1: two rows in window [12:00,12:05), one invalid
+    write_file("f1", [("a", ts(1), 100), ("b", ts(2), 5000)])
+    # batch 2: a row 40 min later — advances the watermark to ~12:30
+    write_file("f2", [("c", ts(40), 100)])
+    # batch 3: runs with watermark 12:30 → window [12:00,12:05) is emitted
+    # and its state evicted during this batch
+    write_file("f3", [("d", ts(41), 100)])
+    # batch 4: a LATE row for the already-emitted window → guaranteed dropped
+    write_file("f4", [("late", ts(3), 100)])
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_pass_rates(stream, checks, ts_col="ts",
+                              watermark="10 minutes", window_len="5 minutes")
+    # append mode: a window is emitted exactly once, AFTER the watermark
+    # passes its end — and input older than the watermark is dropped, so the
+    # late row must not appear in the finalized window.
+    q = (
+        agg.writeStream.format("memory").queryName("win_rates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _t.sleep(0.5)
+    rows = spark.sql("SELECT * FROM win_rates").collect()
+    final = {str(r["window"]["start"]): r for r in rows}
+    w0 = final["2026-01-01 12:00:00"]
+    assert w0["n_rows"] == 2           # late row 'late' was dropped
+    assert w0["n_invalid"] == 1        # dur 5000 out of range
+    assert abs(w0["pass_rate"] - 0.5) < 1e-9
+    # the 12:40 window never finalizes (watermark never passes 12:45)
+    assert "2026-01-01 12:40:00" not in final
