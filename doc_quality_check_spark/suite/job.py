@@ -143,6 +143,9 @@ class ValidationJob:
         m.input_lineage["timing_sec"] = {
             "suite_run": round(run_sec, 3),
             "result_write": round(write_sec, 3),
+            # per-table-check wall seconds (F20 parity: the reference returns
+            # elapsed time with every metric)
+            "table_checks": dict(res.table_metrics),
         }
         if runner.effective_payload_mode is not None:
             m.input_lineage["payload_mode"] = runner.effective_payload_mode
@@ -169,16 +172,23 @@ class ValidationJob:
 
 def main(argv: list[str]) -> None:
     """spark-submit entry: validate a clips table (Iceberg identifier or
-    parquet path) with the default suite."""
+    parquet path). Optional third argument: path to a CheckSuite JSON (see
+    examples/) — defaults to the built-in default_suite."""
     from doc_quality_check_spark.sources.iceberg import (
         load_clips_table,
         snapshot_lineage,
     )
+    from doc_quality_check_spark.suite.spec import CheckSuite
 
     clips_src, out_dir = argv[0], argv[1]
+    if len(argv) > 2:
+        with open(argv[2]) as fh:
+            suite = CheckSuite.from_json(fh.read())
+    else:
+        suite = default_suite()
     spark = SparkSession.builder.appName("dqcs-validate").getOrCreate()
     clips = load_clips_table(spark, clips_src)
-    job = ValidationJob(default_suite(), out_dir)
+    job = ValidationJob(suite, out_dir)
     jr = job.run(
         clips,
         payload=True,

@@ -82,6 +82,8 @@ class RunResult:
     violations: DataFrame         # (clip_id, constraint_id)
     verdicts: DataFrame           # per-partition + global verdicts (VERDICT_COLS)
     summary: DataFrame            # one-row global summary
+    # constraint_id -> wall seconds for each table-level check (F20: the
+    # reference returns elapsed time with every metric, clarity_check.py:21)
     table_metrics: dict[str, float] = field(default_factory=dict)
 
     def unpersist(self) -> None:
@@ -150,6 +152,7 @@ class SuiteRunner:
 
         table_checks = suite.table_checks()
         table_verdict_rows: list[tuple] = []
+        check_timings: dict[str, float] = {}
         if table_checks:
             # materialize the decode/row-check cache ONCE (a single barrier
             # job), then evaluate table checks CONCURRENTLY — each is a small
@@ -171,19 +174,29 @@ class SuiteRunner:
             complex_ = [c for c in table_checks if c.kind not in _SIMPLE_AGG_KINDS]
             results: dict[str, tuple] = {}
             extras: dict[str, DataFrame] = {}
+            timings = check_timings
             if simple:
+                import time as _time
+
+                t0 = _time.perf_counter()
                 for cid, v in self._run_simple_aggs(table_df, simple).items():
                     results[cid] = v
+                fused = _time.perf_counter() - t0
+                for c in simple:  # one fused job; attribute the shared wall
+                    timings[c.constraint_id] = round(fused, 3)
             if complex_:
+                import time as _time
                 from concurrent.futures import ThreadPoolExecutor
 
                 def run_one(check):
-                    return check.constraint_id, self._run_table_check(
-                        table_df, check, catalog, baseline)
+                    t0 = _time.perf_counter()
+                    out = self._run_table_check(table_df, check, catalog, baseline)
+                    return check.constraint_id, out, _time.perf_counter() - t0
 
                 with ThreadPoolExecutor(max_workers=min(4, len(complex_))) as ex:
-                    for cid, (v, extra) in ex.map(run_one, complex_):
+                    for cid, (v, extra), dt in ex.map(run_one, complex_):
                         results[cid] = v
+                        timings[cid] = round(dt, 3)
                         if extra is not None:
                             extras[cid] = extra
             for check in table_checks:  # preserve suite order
@@ -210,7 +223,8 @@ class SuiteRunner:
             ),
             F.approx_count_distinct(id_col).alias("n_distinct_ids"),
         )
-        return RunResult(checked=df, violations=viols, verdicts=verdicts, summary=summary)
+        return RunResult(checked=df, violations=viols, verdicts=verdicts,
+                         summary=summary, table_metrics=check_timings)
 
     # ------------------------------------------------------------------
     def _partition_verdicts(self, df, row_checks: list[Check], part_cols: list[str]):

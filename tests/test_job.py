@@ -52,6 +52,8 @@ def test_job_end_to_end(spark, clips_dir, tmp_path):
         m = json.load(fh)
     assert m["constraint_versions"]["clip_id_unique"] == "1"
     assert any(pk != GLOBAL_PART for pk in m["partitions"])
+    # F20: per-table-check wall seconds recorded alongside suite timing
+    assert m["input_lineage"]["timing_sec"]["table_checks"]["clip_id_unique"] >= 0
 
 
 def test_job_resume_skips_completed_partitions(spark, clips_dir, tmp_path):
