@@ -82,3 +82,24 @@ def test_ivf_with_trained_codebook(spark, sf001_dir):
     ap = {(r["query_id"], r["neighbor_id"]) for r in approx}
     # probing half the lists should recover a sizable share of true top-3
     assert len(ex & ap) >= len(ex) // 3
+
+
+def test_multitable_lsh_recall_scales_with_tables(spark, sf01_dir):
+    """Multi-table sign-LSH: recall@10 vs the exact scan grows with the
+    number of tables (the 1-(1-p)^L curve); candidates stay equi-join only."""
+    from doc_quality_check_spark.operators.similarity import (
+        cosine_topk, sign_lsh_multitable_topk, sign_lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    q = emb.limit(20)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=10).collect()}
+    one = {(r["query_id"], r["neighbor_id"])
+           for r in sign_lsh_topk(emb, q, k=10, n_bits=8).collect()}
+    four = {(r["query_id"], r["neighbor_id"])
+            for r in sign_lsh_multitable_topk(emb, q, k=10, n_bits=8, n_tables=4).collect()}
+    eight = {(r["query_id"], r["neighbor_id"])
+             for r in sign_lsh_multitable_topk(emb, q, k=10, n_bits=8, n_tables=8).collect()}
+    r1, r4, r8 = (len(ex & s) / len(ex) for s in (one, four, eight))
+    assert r1 <= r4 <= r8          # monotone in tables
+    assert r8 > r1                 # and strictly better at the top end
