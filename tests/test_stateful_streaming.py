@@ -156,3 +156,24 @@ def test_windowed_pass_rates_watermark_drops_late(spark, tmp_path):
     assert abs(w0["pass_rate"] - 0.5) < 1e-9
     # the 12:40 window never finalizes (watermark never passes 12:45)
     assert "2026-01-01 12:40:00" not in final
+
+
+def test_windowed_pass_rates_on_batch_df(spark):
+    """The same windowed aggregation runs on a BATCH DataFrame (no watermark
+    semantics, same plan) — one code path for batch and streaming."""
+    from doc_quality_check_spark.streaming.windowed import windowed_pass_rates
+    from doc_quality_check_spark.suite.spec import Check
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("a", t0 + datetime.timedelta(minutes=1), 100),
+        ("b", t0 + datetime.timedelta(minutes=2), 5000),
+        ("c", t0 + datetime.timedelta(minutes=7), 100),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, ts timestamp, dur_ms int")
+    checks = [Check("dur_range", "in_range", "dur_ms", {"min": 1, "max": 1000})]
+    out = {str(r["window"]["start"]): r
+           for r in windowed_pass_rates(df, checks, window_len="5 minutes").collect()}
+    assert out["2026-01-01 12:00:00"]["n_rows"] == 2
+    assert out["2026-01-01 12:00:00"]["n_invalid"] == 1
+    assert out["2026-01-01 12:05:00"]["pass_rate"] == 1.0
