@@ -197,14 +197,21 @@ SPECTRAL_WINDOW = 16384
 SPECTRAL_MAX_WINDOWS = 8
 
 # np.hanning(16384) is ~16k cosine evaluations; computing it per clip was
-# ~25% of the whole spectral pass (measured). Cache by length — only a
-# handful of lengths ever occur (the full window + short-clip tails).
+# ~25% of the whole spectral pass (measured). Cache by length, BOUNDED:
+# clips shorter than the window each contribute their own length, and a
+# VAD-segmented corpus can have thousands of distinct short lengths — an
+# unbounded cache would grow without limit inside long-lived UDF workers.
 _HANN_CACHE: dict[int, np.ndarray] = {}
+_HANN_CACHE_MAX = 64
 
 
 def _hann(n: int) -> np.ndarray:
     h = _HANN_CACHE.get(n)
     if h is None:
+        if len(_HANN_CACHE) >= _HANN_CACHE_MAX:
+            # evict an arbitrary short-window entry; the full window (the
+            # one that matters) is re-inserted on next use at worst
+            _HANN_CACHE.pop(next(iter(_HANN_CACHE)))
         h = _HANN_CACHE[n] = np.hanning(n)
     return h
 

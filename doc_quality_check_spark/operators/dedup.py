@@ -389,4 +389,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # silent truncation would return WRONG clusters (tail vertices keep
+        # mid-chain labels); a >25-diameter component means the input is a
+        # long near-dup chain — raise so the caller can widen max_iter or
+        # switch to the large-star/small-star O(log n) variant.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the round budget); raise "
+            "max_iter or use a log-rounds star-contraction variant"
+        )
     return labels.select("id", "comp")

@@ -57,9 +57,13 @@ def _topk_per_query(scored: DataFrame, k: int, partial: bool = True) -> DataFram
     relation is the corpus × query cross product — shuffling it is the
     bottleneck the pre-cut removes; the survivors are tiny.
 
-    NaN cosines rank first (Spark treats NaN as largest in DESC order);
-    NULL cosines are indistinguishable from NaN inside the Arrow batch, a
-    corner that cannot arise from non-zero-norm vectors."""
+    NULL/NaN cosines (NULL embeddings, zero norms) are dropped up front: a
+    NULL score is meaningless as a neighbor, and inside an Arrow batch NULL
+    collapses to NaN, so keeping them would make the pre-cut path rank them
+    differently (pandas NaN-first) than the plain window (Spark NULL-last)."""
+    scored = scored.filter(
+        F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine"))
+    )
     if partial:
         import pandas as pd
 
@@ -116,15 +120,9 @@ def cosine_topk(
 
 def sign_bucket_expr(vec_col: str, n_bits: int = 8) -> F.Column:
     """Deterministic LSH bucket: bit i set iff vec[i] >= 0 (a fixed axis-
-    aligned hyperplane family — swap in seeded random projections at scale)."""
-    terms = [
-        F.when(F.expr(f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_bits)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("int")
+    aligned hyperplane family — swap in seeded random projections at scale).
+    Table 0 of the multi-table family (sign_bucket_slice_expr at offset 0)."""
+    return sign_bucket_slice_expr(vec_col, 0, n_bits)
 
 
 def sign_lsh_topk(

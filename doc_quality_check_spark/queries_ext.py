@@ -341,15 +341,21 @@ def q_kv_pairs(spark, sf):
     from doc_quality_check_spark.functions.text import kv_entries
 
     d = t(spark, sf, "documents")
+    # NULL-harden every synthesized piece: Spark concat_ws SKIPS null args
+    # (shifting line numbers) while DuckDB '||' nullifies the whole string —
+    # coalesce on BOTH engines keeps the two line layouts identical even if
+    # the fixture ever grows NULL lang/source/text rows.
+    lang = F.coalesce(F.col("lang"), F.lit(""))
+    srcc = F.coalesce(F.col("source"), F.lit(""))
     src = d.select(
         "doc_id",
-        F.when(F.col("doc_id") % 7 == 0, F.col("text")).otherwise(
+        F.when(F.col("doc_id") % 7 == 0, F.coalesce(F.col("text"), F.lit(""))).otherwise(
             F.concat_ws(
                 "\n",
                 F.concat(F.lit("DocId: "), F.col("doc_id").cast("string")),
-                F.concat(F.lit("Lang - "), F.col("lang")),
-                F.concat(F.lit("Source: "), F.col("source")),
-                F.concat(F.lit("Lang - "), F.upper(F.col("lang"))),
+                F.concat(F.lit("Lang - "), lang),
+                F.concat(F.lit("Source: "), srcc),
+                F.concat(F.lit("Lang - "), F.upper(lang)),
                 F.lit("   "),
             )
         ).alias("kvtext"),
@@ -364,11 +370,11 @@ def q_kv_pairs(spark, sf):
 SQL_KV_PAIRS = r"""
 WITH src AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN text
+         CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '')
               ELSE 'DocId: ' || CAST(doc_id AS VARCHAR) || chr(10) ||
-                   'Lang - ' || lang || chr(10) ||
-                   'Source: ' || source || chr(10) ||
-                   'Lang - ' || upper(lang) || chr(10) || '   '
+                   'Lang - ' || coalesce(lang, '') || chr(10) ||
+                   'Source: ' || coalesce(source, '') || chr(10) ||
+                   'Lang - ' || upper(coalesce(lang, '')) || chr(10) || '   '
          END AS kvtext
   FROM documents
 ),

@@ -107,15 +107,23 @@ def with_row_checks(df, checks: list[Check]):
     )
 
 
-def row_violations(df, checks: list[Check], id_col: str = "clip_id"):
-    """All (clip_id, constraint_id) failures in ONE pass: build an array of
-    failed constraint ids per row, drop passing rows cheaply, then explode —
-    the analog of the UNREADABLE/EMPTY PAGES listings
-    (test_readability.py:856-879) generalized to every constraint."""
+def row_violations(df, checks: list[Check], id_col: str = "clip_id",
+                   part_cols: list[str] | None = None):
+    """All (clip_id, constraint_id, part_key) failures in ONE pass: build an
+    array of failed constraint ids per row, drop passing rows cheaply, then
+    explode — the analog of the UNREADABLE/EMPTY PAGES listings
+    (test_readability.py:856-879) generalized to every constraint. The
+    part_key column lets a resumed run merge the prior run's violation rows
+    for skipped partitions (suite/job.py)."""
+    from doc_quality_check_spark.suite.runner import part_key_col
+
+    part = part_key_col(part_cols or [])
     row_checks = [c for c in checks if c.is_row_level]
     if not row_checks:
         return (
-            df.select(F.col(id_col).alias("clip_id"), F.lit("").alias("constraint_id"))
+            df.select(F.col(id_col).alias("clip_id"),
+                      F.lit("").alias("constraint_id"),
+                      part.alias("part_key"))
             .limit(0)
         )
     arr = F.array_compact(
@@ -125,7 +133,8 @@ def row_violations(df, checks: list[Check], id_col: str = "clip_id"):
         ])
     )
     return (
-        df.select(F.col(id_col).alias("clip_id"), arr.alias("_failed"))
+        df.select(F.col(id_col).alias("clip_id"), part.alias("part_key"),
+                  arr.alias("_failed"))
         .filter(F.size("_failed") > 0)
-        .select("clip_id", F.explode("_failed").alias("constraint_id"))
+        .select("clip_id", F.explode("_failed").alias("constraint_id"), "part_key")
     )

@@ -127,6 +127,25 @@ class ValidationJob:
             if prior_rows:
                 prior_df = clips.sparkSession.createDataFrame(prior_rows, VERDICT_SCHEMA)
                 res.verdicts = res.verdicts.unionByName(prior_df)
+            # Merge the prior run's VIOLATION rows for the skipped partitions
+            # too (violations carry part_key since round 2), so the resumed
+            # run's violations table backs every merged verdict. If the prior
+            # run crashed before its violations parquet was written, only the
+            # manifest's verdict metrics survive — recorded, not invented.
+            prev_viol = os.path.join(
+                self.out_dir, f"run_{prev.run_id:06d}", "violations")
+            if os.path.isdir(prev_viol):
+                from pyspark.sql import functions as F
+
+                try:
+                    pv = clips.sparkSession.read.parquet(prev_viol)
+                    if "part_key" in pv.columns:
+                        res.violations = res.violations.unionByName(
+                            pv.filter(F.col("part_key").isin(completed))
+                            .select(*res.violations.columns)
+                        )
+                except Exception:
+                    pass  # unreadable/partial prior output — skip the merge
 
         # materialize result tables (violations first: triggers the cached
         # metrics pass), then record per-partition metrics in the manifest

@@ -128,13 +128,21 @@ class SuiteRunner:
         needs_payload = payload and any(c.kind.startswith("payload_") for c in row_checks)
         df = clips
         if needs_payload:
-            # F5 mode dispatch: a per-check params["mode"] wins over the
-            # suite-wide settings["payload_mode"]; default 'accurate'.
+            # F5 mode dispatch: per-check params["mode"] values win over the
+            # suite-wide settings["payload_mode"]; when checks disagree, the
+            # STRONGEST requested tier runs (metrics are computed once for
+            # all checks — an 'accurate' check must never be evaluated
+            # against a cheaper tier's confidence). Default 'accurate'.
+            strength = {"superfast": 0, "balanced": 1, "fast": 2, "accurate": 3}
             payload_checks = [c for c in row_checks if c.kind.startswith("payload_")]
-            mode = suite.settings.get("payload_mode", "accurate")
-            for c in payload_checks:
-                if c.params.get("mode"):
-                    mode = c.params["mode"]
+            requested = [
+                c.params["mode"] for c in payload_checks
+                if c.params.get("mode") in strength
+            ]
+            if requested:
+                mode = max(requested, key=strength.__getitem__)
+            else:
+                mode = suite.settings.get("payload_mode", "accurate")
             df, self.effective_payload_mode = with_payload_metrics(
                 df,
                 checks=payload_checks,
@@ -147,7 +155,7 @@ class SuiteRunner:
         df = with_row_checks(df, row_checks).persist()
 
         id_col = "clip_id"
-        viols = row_violations(df, row_checks, id_col=id_col)
+        viols = row_violations(df, row_checks, id_col=id_col, part_cols=part_cols)
         verdicts = self._partition_verdicts(df, row_checks, part_cols)
 
         table_checks = suite.table_checks()
@@ -163,13 +171,22 @@ class SuiteRunner:
             # subset. Use the raw table (bytes pruned at scan) unless a check
             # references a derived metric column, which forces a full decode.
             table_df = df
+            resume_cache = None
             if resuming:
                 raw_cols = set(full_clips.columns)
                 needed = {c.column for c in table_checks if c.column}
                 if needed <= raw_cols:
                     table_df = full_clips.drop("bytes")
                 else:
-                    table_df = with_audio_metrics(full_clips)
+                    # full-input decode needed for metric-column checks:
+                    # persist + materialize ONCE before the concurrent check
+                    # pool — otherwise every worker thread would trigger its
+                    # own full decode pass (the single most expensive stage).
+                    # Accurate-tier metrics deliberately: table-check
+                    # thresholds were calibrated against full metrics.
+                    resume_cache = with_audio_metrics(full_clips).persist()
+                    resume_cache.count()
+                    table_df = resume_cache
             simple = [c for c in table_checks if c.kind in _SIMPLE_AGG_KINDS]
             complex_ = [c for c in table_checks if c.kind not in _SIMPLE_AGG_KINDS]
             results: dict[str, tuple] = {}
@@ -182,8 +199,12 @@ class SuiteRunner:
                 for cid, v in self._run_simple_aggs(table_df, simple).items():
                     results[cid] = v
                 fused = _time.perf_counter() - t0
-                for c in simple:  # one fused job; attribute the shared wall
-                    timings[c.constraint_id] = round(fused, 3)
+                # ONE fused job serves every simple check — attribute each an
+                # equal share so the per-check timings still SUM to real wall
+                # (recording the full wall N times would over-count N-fold)
+                share = fused / len(simple)
+                for c in simple:
+                    timings[c.constraint_id] = round(share, 3)
             if complex_:
                 import time as _time
                 from concurrent.futures import ThreadPoolExecutor
@@ -203,6 +224,8 @@ class SuiteRunner:
                 table_verdict_rows.append(results[check.constraint_id])
                 if check.constraint_id in extras:
                     viols = viols.unionByName(extras[check.constraint_id])
+            if resume_cache is not None:
+                resume_cache.unpersist()
 
         if table_verdict_rows:
             spark = df.sparkSession
@@ -304,7 +327,11 @@ class SuiteRunner:
         if check.kind == "unique":
             dups = duplicate_keys(df, check.column, int(p.get("salt_buckets", 0))).persist()
             n_bad_keys = dups.count()
-            extra = dups.select(F.col(check.column).alias("clip_id"), F.lit(cid).alias("constraint_id"))
+            # table-level violations are global facts (a dup key can span
+            # partitions) → part_key = __global__
+            extra = dups.select(F.col(check.column).alias("clip_id"),
+                                F.lit(cid).alias("constraint_id"),
+                                F.lit(GLOBAL_PART).alias("part_key"))
             metric = float(n_bad_keys)
             passed = n_bad_keys == 0
             n_viol = n_bad_keys
@@ -317,7 +344,9 @@ class SuiteRunner:
             ).persist()
             n_viol = missing.count()
             extra = missing.select(
-                F.col(check.column).alias("clip_id"), F.lit(cid).alias("constraint_id")
+                F.col(check.column).alias("clip_id"),
+                F.lit(cid).alias("constraint_id"),
+                F.lit(GLOBAL_PART).alias("part_key"),
             ).dropDuplicates()
             metric = float(n_viol)
             passed = n_viol == 0

@@ -99,6 +99,17 @@ def test_job_resume_skips_completed_partitions(spark, clips_dir, tmp_path):
     uniq = [r for r in jr2.result.verdicts.collect()
             if r["part_key"] == GLOBAL_PART and r["constraint_id"] == "clip_id_unique"]
     assert len(uniq) == 1
+    # prior run's VIOLATION rows for skipped partitions were merged (the
+    # violations table must back every merged verdict)
+    viol_parts = {r["part_key"] for r in
+                  jr2.result.violations.select("part_key").distinct().collect()}
+    merged_nv = {pk: sum(c["n_violations"] for c in m1.partitions[pk]["checks"].values())
+                 for pk in done}
+    for pk, nv in merged_nv.items():
+        if nv > 0:
+            assert pk in viol_parts
+            got = jr2.result.violations.filter(F.col("part_key") == pk).count()
+            assert got == nv, (pk, got, nv)
 
     # run 3 after a COMPLETE run does not resume (full revalidation)
     jr3 = job.run(clips, payload=False, resume=True)
