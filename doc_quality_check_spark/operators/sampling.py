@@ -1,0 +1,81 @@
+"""Deterministic sampling / split assignment for training-data curation.
+
+A training pipeline needs reproducible dataset membership — eval splits that
+never drift across runs, clusters of near-duplicates that never straddle a
+train/test boundary (leakage). Random sampling (``df.sample``) is seed-
+stable only per plan; these operators instead derive membership from a
+CONTENT hash, so assignment is a pure function of the row id — stable across
+engines, partitionings, and re-runs, and reproducible bit-for-bit by the
+DuckDB oracle (same md5-prefix hash family as operators/dedup.py).
+
+Scale: every operator is a stateless projection (one scan, no shuffle) —
+except cluster_safe_split, which adds the connected-components join so that
+a whole near-dup cluster hashes by its representative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# bucket resolution of the unit-interval hash (1e6 ≈ 3ppm split-size error)
+_BUCKETS = 1_000_000
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic hash of a column into [0, 1): md5-prefix bigint mod 1e6.
+    Shared semantics with DuckDB (see queries_ext oracle) — the same id maps
+    to the same point on both engines."""
+    s = F.concat(F.lit(salt), col.cast("string"))
+    h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    return (h % _BUCKETS) / F.lit(float(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: str = "sample") -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose hash point falls
+    below the threshold. Same rows every run, any partitioning."""
+    return df.filter(hash_unit(F.col(id_col), salt) < F.lit(fraction))
+
+
+def hash_split(df: DataFrame, id_col: str, splits: dict[str, float],
+               salt: str = "split", key_col: Column | None = None) -> DataFrame:
+    """Deterministic split assignment: adds a ``split`` column with each
+    row's split name, by cumulative hash ranges in ``splits`` insertion
+    order (fractions should sum to 1; a trailing remainder falls into the
+    LAST split). ``key_col`` overrides the hashed key (used by
+    cluster_safe_split to hash the cluster representative instead)."""
+    key = key_col if key_col is not None else F.col(id_col)
+    u = hash_unit(key, salt)
+    names = list(splits)
+    cum = 0.0
+    expr: Column | None = None
+    for name in names[:-1]:
+        cum += float(splits[name])
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
+                       splits: dict[str, float], salt: str = "split",
+                       max_iter: int = 25) -> DataFrame:
+    """Leakage-safe split: rows in the same near-duplicate cluster always
+    land in the same split. The pair graph's connected components give each
+    row a cluster representative (min reachable id; singletons represent
+    themselves); the split hash is taken over the REPRESENTATIVE, so a
+    near-dup of a test document can never leak into train.
+
+    One broadcast-join of the (tiny) component map onto the corpus — the
+    component table has one row per clustered doc, not per doc."""
+    from doc_quality_check_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
+        "id", "__cc_id"
+    )
+    joined = df.join(
+        F.broadcast(comp), df[id_col] == F.col("__cc_id"), "left"
+    ).drop("__cc_id")
+    rep = F.coalesce(F.col("comp"), F.col(id_col).cast("long"))
+    return hash_split(joined, id_col, splits, salt, key_col=rep).drop("comp")

@@ -477,6 +477,70 @@ FROM reach GROUP BY id
 """
 
 
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark, sf):
+    """Deterministic train/val/test assignment: membership is a pure
+    function of md5(id) — stable across runs/partitionings and reproduced
+    bit-for-bit by the oracle (operators/sampling.py)."""
+    from doc_quality_check_spark.operators.sampling import hash_split
+
+    d = t(spark, sf, "documents")
+    return hash_split(d, "doc_id", _SPLITS).select("doc_id", "split")
+
+
+def _hash_unit_sql(key_expr: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT "
+        f"% 1000000) / 1000000.0"
+    )
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_hash_unit_sql('doc_id', 'split')} < 0.8 THEN 'train'
+            WHEN {_hash_unit_sql('doc_id', 'split')} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_cluster_safe_split(spark, sf):
+    """Leakage-safe split: near-dup clusters (Jaccard pair graph) hash by
+    their connected-component representative, so no cluster straddles a
+    train/test boundary."""
+    from doc_quality_check_spark.operators.sampling import cluster_safe_split
+
+    d = t(spark, sf, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return cluster_safe_split(d, "doc_id", pairs, _SPLITS).select("doc_id", "split")
+
+
+def _cluster_split_sql() -> str:
+    rep = "coalesce(c.component, d.doc_id)"
+    u = _hash_unit_sql(rep, "split")
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, t AS r FROM edges
+  UNION
+  SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
 def q_minhash_signatures(spark, sf):
     d = t(spark, sf, "documents")
     return minhash_signatures(d, "doc_id", "text")
@@ -1277,6 +1341,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "hash_split": q_hash_split,
+    "cluster_safe_split": q_cluster_safe_split,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash_values": q_simhash_values,
@@ -1316,6 +1382,8 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": _dedup_clusters_sql(),
+    "hash_split": SQL_HASH_SPLIT,
+    "cluster_safe_split": _cluster_split_sql(),
     "minhash_signatures": SQL_MINHASH_SIG,
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "simhash_values": SQL_SIMHASH_VALUES,

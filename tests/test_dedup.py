@@ -77,3 +77,38 @@ def test_connected_components_chain(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 40: 40, 41: 40, 42: 40}
+
+
+def test_hash_split_and_cluster_safety(spark):
+    """Split assignment is deterministic, roughly proportioned, and
+    cluster-safe: every member of a near-dup cluster lands in ONE split."""
+    from doc_quality_check_spark.operators.sampling import (
+        cluster_safe_split, hash_sample, hash_split,
+    )
+
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(2000)],
+                               "doc_id long, text string")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", splits).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         hash_split(df.repartition(7), "doc_id", splits).collect()}
+    assert a == b                                   # partitioning-independent
+    from collections import Counter
+    frac = Counter(a.values())
+    assert 0.75 < frac["train"] / 2000 < 0.85       # ~proportioned
+    assert 0.07 < frac["test"] / 2000 < 0.13
+
+    # deterministic sampling: same subset every run, size ≈ fraction
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    assert s1 == s2 and 0.2 < len(s1) / 2000 < 0.3
+
+    # cluster safety: chained pairs {0..3} and {10,11} must not straddle
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["split"] for r in
+           cluster_safe_split(df, "doc_id", pairs, splits).collect()}
+    assert len({out[i] for i in (0, 1, 2, 3)}) == 1
+    assert len({out[i] for i in (10, 11)}) == 1
+    # unclustered rows keep their plain hash_split assignment
+    assert out[500] == a[500]
