@@ -265,3 +265,24 @@ def extract_kv_int(col: str, key: str) -> Column:
     No-match → empty string → null (never an ANSI cast error)."""
     ex = F.regexp_extract(F.col(col), f'"{key}":\\s*([0-9]+)', 1)
     return F.when(ex == "", F.lit(None)).otherwise(ex).cast("int")
+
+
+def repetition_ratio(col: str, n: int = 3) -> Column:
+    """Intra-document repetition: 1 − distinct/total word n-grams ∈ [0,1]
+    (0 when the text has fewer than n tokens). The duplicate-n-gram quality
+    filter from published LLM data-curation pipelines (Gopher-style
+    repetition heuristics) — boilerplate and looping generations score high.
+    Pure Catalyst: one split + one transform, no shuffle."""
+    t = f"split({col}, ' ')"
+    grams = (
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n}))) "
+        f"ELSE array() END"
+    )
+    total = F.expr(f"size({grams})")
+    distinct = F.expr(f"size(array_distinct({grams}))")
+    return F.round(
+        F.when(total > 0, 1.0 - F.try_divide(distinct, total)).otherwise(F.lit(0.0)),
+        4,
+    )

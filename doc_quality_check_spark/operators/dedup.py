@@ -400,3 +400,33 @@ def connected_components(
             "max_iter or use a log-rounds star-contraction variant"
         )
     return labels.select("id", "comp")
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing at least
+    ``min_shared`` distinct word n-grams with ANY eval document →
+    (id, n_shared). The standard pre-training hygiene step (published as
+    n-gram-overlap decontamination in LLM training reports).
+
+    Plan shape at 10^12 rows: the eval set is small → its distinct shingle
+    hashes BROADCAST; the corpus explodes to (id, shingle) once and
+    broadcast-joins — no shuffle of corpus text, no pairwise stage. Counting
+    distinct shared shingles per doc is the only aggregation."""
+    ev = (
+        exploded_shingles(eval_df, id_col, text_col, n, hashed=True)
+        .select("shingle").dropDuplicates()
+    )
+    sh = exploded_shingles(corpus, id_col, text_col, n, hashed=True).dropDuplicates()
+    return (
+        sh.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -477,6 +477,58 @@ FROM reach GROUP BY id
 """
 
 
+def q_contamination(spark, sf):
+    """Eval-set decontamination: corpus docs sharing >= 2 distinct 3-grams
+    with any eval doc (eval set = doc_id % 10 == 0, deterministic). Eval
+    shingles broadcast; the corpus never shuffles its text."""
+    from doc_quality_check_spark.operators.dedup import contamination_flags
+
+    d = t(spark, sf, "documents")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return contamination_flags(corpus, ev, "doc_id", "text", n=3, min_shared=2)
+
+
+def _contamination_sql() -> str:
+    # same shingle universe (+60-bit hash) as the jaccard CTEs, split into
+    # eval (doc_id % 10 = 0) and corpus halves
+    return f"""
+WITH {_SHINGLES_CTE},
+shh AS (SELECT doc_id, ('0x'||substr(md5(sh),1,15))::BIGINT AS sh FROM sh),
+ev AS (SELECT DISTINCT sh FROM shh WHERE doc_id % 10 = 0),
+corp AS (SELECT DISTINCT doc_id, sh FROM shh WHERE doc_id % 10 != 0)
+SELECT corp.doc_id AS doc_id, count(*) AS n_shared
+FROM corp JOIN ev USING (sh)
+GROUP BY corp.doc_id HAVING count(*) >= 2
+"""
+
+
+def q_repetition(spark, sf):
+    """Gopher-style intra-document repetition ratio (1 - distinct/total
+    3-grams) — boilerplate and looping text score high."""
+    from doc_quality_check_spark.functions.text import repetition_ratio
+
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", repetition_ratio("text", 3).alias("rep_ratio"))
+
+
+SQL_REPETITION = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, (SELECT range AS i FROM range(1, 100000)) n
+  WHERE i + 2 <= len(t)
+),
+agg AS (
+  SELECT doc_id, count(*) AS total, count(DISTINCT gram) AS dist
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(1.0 - CAST(a.dist AS DOUBLE) / a.total, 0.0), 4) AS rep_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 _SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1343,6 +1395,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "hash_split": q_hash_split,
     "cluster_safe_split": q_cluster_safe_split,
+    "contamination": q_contamination,
+    "repetition": q_repetition,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash_values": q_simhash_values,
@@ -1384,6 +1438,8 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_sql(),
     "hash_split": SQL_HASH_SPLIT,
     "cluster_safe_split": _cluster_split_sql(),
+    "contamination": _contamination_sql(),
+    "repetition": SQL_REPETITION,
     "minhash_signatures": SQL_MINHASH_SIG,
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "simhash_values": SQL_SIMHASH_VALUES,

@@ -112,3 +112,37 @@ def test_hash_split_and_cluster_safety(spark):
     assert len({out[i] for i in (10, 11)}) == 1
     # unclustered rows keep their plain hash_split assignment
     assert out[500] == a[500]
+
+
+def test_contamination_and_repetition(spark):
+    """Decontamination flags exactly the corpus docs overlapping eval
+    n-grams; repetition ratio separates looping text from varied text."""
+    from doc_quality_check_spark.functions.text import repetition_ratio
+    from doc_quality_check_spark.operators.dedup import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # eval
+            (2, "a quick brown fox jumps over fences daily"),     # shares 3-grams
+            (3, "completely different words here entirely now"),  # clean
+            (4, "the quick brown fox appears again verbatim"),    # shares
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    flagged = {r["doc_id"]: r["n_shared"] for r in
+               contamination_flags(corpus, ev, min_shared=2).collect()}
+    # doc2 shares {quick brown fox, brown fox jumps, fox jumps over} = 3;
+    # doc4 shares {the quick brown, quick brown fox} = 2; doc3 shares none
+    assert flagged == {2: 3, 4: 2}
+
+    rep = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "eight completely distinct tokens appear exactly once here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["r"] for r in
+           rep.select("doc_id", repetition_ratio("text", 3).alias("r")).collect()}
+    assert got[1] > 0.8      # one distinct 3-gram over six positions
+    assert got[2] == 0.0     # all 3-grams unique
