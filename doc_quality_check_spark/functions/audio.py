@@ -286,9 +286,41 @@ AUDIO_METRICS_SCHEMA = StructType(
         StructField("zcr", DoubleType()),
         StructField("decode_conf", DoubleType()),
         StructField("decoded_dur_ms", DoubleType()),
+        # audio-curation metrics (vectorized numpy, no extra decode pass):
+        StructField("rms_db", DoubleType()),          # level, dBFS
+        StructField("peak_db", DoubleType()),         # peak, dBFS
+        StructField("clip_fraction", DoubleType()),   # samples at full scale
+        StructField("lead_silence_ms", DoubleType()),
+        StructField("trail_silence_ms", DoubleType()),
         StructField("error", StringType()),
     ]
 )
+
+_SILENCE_THR = 0.005   # amplitude below which a sample counts as silence
+_CLIP_THR = 0.999      # |sample| above which a sample counts as clipped
+
+
+def curation_metrics(pcm: np.ndarray, sr: int) -> tuple[float, float, float, float, float]:
+    """(rms_db, peak_db, clip_fraction, lead_silence_ms, trail_silence_ms) —
+    the standard audio data-curation levels: loudness (dBFS), headroom,
+    hard-clipping fraction, and trimmable lead/trail silence. All single-pass
+    vectorized numpy over the already-decoded PCM."""
+    if pcm.size == 0 or not sr:
+        return -120.0, -120.0, 0.0, 0.0, 0.0
+    a = np.abs(pcm)
+    rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+    peak = float(a.max())
+    rms_db = 20.0 * np.log10(max(rms, 1e-6))
+    peak_db = 20.0 * np.log10(max(peak, 1e-6))
+    clip_fraction = float(np.count_nonzero(a >= _CLIP_THR)) / a.size
+    voiced = np.flatnonzero(a > _SILENCE_THR)
+    if voiced.size == 0:
+        lead = trail = 1000.0 * pcm.size / sr
+    else:
+        lead = 1000.0 * float(voiced[0]) / sr
+        trail = 1000.0 * float(pcm.size - 1 - voiced[-1]) / sr
+    return round(rms_db, 4), round(peak_db, 4), round(clip_fraction, 6), \
+        round(lead, 3), round(trail, 3)
 
 
 def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series,
@@ -313,6 +345,12 @@ def _metrics_for_batch(payloads: pd.Series, codecs: pd.Series,
         out["zcr"].append(zero_crossing_rate(pcm))
         out["decode_conf"].append(decode_confidence(ok, pcm, flat, fast=fast))
         out["decoded_dur_ms"].append(1000.0 * pcm.size / sr if sr else 0.0)
+        rms_db, peak_db, clip_fr, lead_ms, trail_ms = curation_metrics(pcm, sr)
+        out["rms_db"].append(rms_db)
+        out["peak_db"].append(peak_db)
+        out["clip_fraction"].append(clip_fr)
+        out["lead_silence_ms"].append(lead_ms)
+        out["trail_silence_ms"].append(trail_ms)
         out["error"].append(err)
     return pd.DataFrame(out)
 
@@ -483,7 +521,9 @@ def with_payload_metrics(
     'fast' and reports it via ``effective_mode`` (the reference's global
     fallback semantics: never fail, pick the cheapest sufficient path)."""
     kinds = {c.kind for c in (checks or [])}
-    needs_full = bool(kinds & {"payload_energy", "payload_dur_consistency"})
+    needs_full = bool(
+        kinds & {"payload_energy", "payload_dur_consistency", "payload_clipping"}
+    )
     eff = mode if mode in PAYLOAD_MODES else "balanced"
     if needs_full and eff in ("superfast", "balanced"):
         eff = "fast"

@@ -71,6 +71,12 @@ def compile_check(check: Check) -> Column:
         # readability analog: conf >= 15 (test_readability.py:216)
         thr = float(p.get("threshold", 15.0))
         return F.col("decode_conf") >= F.lit(thr)
+    if kind == "payload_clipping":
+        # audio-curation check: at most max_fraction of samples hard-clipped
+        # (a clipped recording is damaged even if it decodes); gated on
+        # decode success like the other payload checks
+        thr = float(p.get("max_fraction", 0.01))
+        return ~F.col("decode_ok") | (F.col("clip_fraction") <= F.lit(thr))
     if kind == "payload_sr_consistency":
         return (
             ~F.col("decode_ok")

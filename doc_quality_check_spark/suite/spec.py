@@ -13,7 +13,7 @@ Check kinds
 Row-level (compile to a boolean ``Column``; failures become violation rows):
   ``not_null | min | max | in_range | isin | regex_match | regex_not_match |
   expr | payload_energy | payload_decode | payload_sr_consistency |
-  payload_dur_consistency | transcript_match``
+  payload_dur_consistency | payload_clipping | transcript_match``
 Table-level (evaluated by the runner as aggregates / joins):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
   drift_ks | distinct_range | quantile_range``
@@ -42,6 +42,7 @@ ROW_LEVEL_KINDS = {
     "payload_decode",
     "payload_sr_consistency",
     "payload_dur_consistency",
+    "payload_clipping",
     "transcript_match",
 }
 

@@ -173,3 +173,44 @@ def test_suite_mode_knob_reaches_dispatcher(spark, clips_dir):
     assert runner2.effective_payload_mode == "fast"
     assert res2.checked.filter(F.col("spectral_flatness").isNotNull()).count() == 0
     res2.unpersist()
+
+
+def test_curation_metrics_and_clipping_check(spark):
+    """Audio-curation metrics: dBFS levels, clip fraction, trimmable
+    silence; the payload_clipping check flags hard-clipped clips."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.audio import (
+        curation_metrics, encode_wav_pcm16, with_audio_metrics,
+    )
+    from doc_quality_check_spark.suite.compiler import with_row_checks
+    from doc_quality_check_spark.suite.spec import Check
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    quiet = 0.05 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    clipped = np.clip(3.0 * np.sin(2 * np.pi * 440 * t), -1, 1).astype(np.float32)
+    padded = np.concatenate([np.zeros(sr // 10, np.float32), quiet,
+                             np.zeros(sr // 5, np.float32)])
+
+    # direct numpy-level invariants
+    rms_db, peak_db, clip_fr, lead, trail = curation_metrics(clipped, sr)
+    assert clip_fr > 0.3 and peak_db > -0.1
+    _, _, cf_q, _, _ = curation_metrics(quiet, sr)
+    assert cf_q == 0.0
+    _, _, _, lead_p, trail_p = curation_metrics(padded, sr)
+    assert 90 < lead_p < 110 and 190 < trail_p < 210  # ms of padding
+
+    # end-to-end: metric columns + the payload_clipping check
+    rows = [("ok", bytes(encode_wav_pcm16(quiet, sr)), "pcm_s16le"),
+            ("clip", bytes(encode_wav_pcm16(clipped, sr)), "pcm_s16le")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    m = with_audio_metrics(df)
+    checked = with_row_checks(
+        m, [Check("no_clipping", "payload_clipping", "bytes", {"max_fraction": 0.01})]
+    )
+    got = {r["clip_id"]: r for r in checked.collect()}
+    assert got["ok"]["passed__no_clipping"]
+    assert not got["clip"]["passed__no_clipping"]
+    assert got["clip"]["clip_fraction"] > 0.01
+    assert got["ok"]["rms_db"] < got["clip"]["rms_db"]
