@@ -315,7 +315,9 @@ def curation_metrics(pcm: np.ndarray, sr: int) -> tuple[float, float, float, flo
     clip_fraction = float(np.count_nonzero(a >= _CLIP_THR)) / a.size
     voiced = np.flatnonzero(a > _SILENCE_THR)
     if voiced.size == 0:
-        lead = trail = 1000.0 * pcm.size / sr
+        # all-silent: report the full duration as LEAD only so that
+        # lead + trail <= duration always holds (trimmed length stays >= 0)
+        lead, trail = 1000.0 * pcm.size / sr, 0.0
     else:
         lead = 1000.0 * float(voiced[0]) / sr
         trail = 1000.0 * float(pcm.size - 1 - voiced[-1]) / sr
@@ -516,7 +518,8 @@ def with_payload_metrics(
 
     An unknown mode falls back to 'balanced' like the reference's ``else``
     branch. If the enabled payload ``checks`` need full-decode metric columns
-    (payload_energy / payload_dur_consistency), superfast/balanced cannot
+    (payload_energy / payload_dur_consistency / payload_clipping),
+    superfast/balanced cannot
     satisfy them for the cheap-tier rows — the dispatcher escalates to
     'fast' and reports it via ``effective_mode`` (the reference's global
     fallback semantics: never fail, pick the cheapest sufficient path)."""

@@ -272,16 +272,15 @@ def repetition_ratio(col: str, n: int = 3) -> Column:
     (0 when the text has fewer than n tokens). The duplicate-n-gram quality
     filter from published LLM data-curation pipelines (Gopher-style
     repetition heuristics) — boilerplate and looping generations score high.
-    Pure Catalyst: one split + one transform, no shuffle."""
-    t = f"split({col}, ' ')"
-    grams = (
-        f"CASE WHEN size({t}) >= {n} THEN "
-        f"transform(sequence(1, size({t}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({t}, i, {n}))) "
-        f"ELSE array() END"
-    )
-    total = F.expr(f"size({grams})")
-    distinct = F.expr(f"size(array_distinct({grams}))")
+    Pure Catalyst: one split + one transform, no shuffle. Gram semantics are
+    shared with the dedup/contamination shingle universe via
+    operators.dedup.word_grams_expr (distinct=False keeps positional
+    duplicates)."""
+    from doc_quality_check_spark.operators.dedup import word_grams_expr
+
+    grams = word_grams_expr(col, n, distinct=False)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
     return F.round(
         F.when(total > 0, 1.0 - F.try_divide(distinct, total)).otherwise(F.lit(0.0)),
         4,

@@ -68,16 +68,37 @@ def shingle_hash60_expr(col: str) -> str:
     return f"CAST(conv(substr(md5({col}), 1, 15), 16, 10) AS BIGINT)"
 
 
+def md5_prefix_hash(col: F.Column, digits: int = 8) -> F.Column:
+    """THE engine-parity hash contract as a Column: first ``digits`` md5 hex
+    digits as a bigint — the Column twin of :func:`token_hash_expr` /
+    :func:`shingle_hash60_expr` (SQL-fragment forms) and of the DuckDB
+    ``('0x'||substr(md5(x),1,digits))::BIGINT`` oracle side. Change the hash
+    family HERE and in those two fragments together."""
+    return F.conv(F.substring(F.md5(col), 1, digits), 16, 10).cast("bigint")
+
+
+def word_grams_expr(text_col: str, n: int = 3, distinct: bool = True) -> F.Column:
+    """Word n-grams of a whitespace-tokenized text column as array<string>
+    (empty when fewer than n tokens). ``distinct=True`` gives the shingle
+    universe used by every dedup/contamination operator; ``distinct=False``
+    keeps positional duplicates (the repetition filter's gram stream) — ONE
+    builder so the two universes can never drift."""
+    t = f"split({text_col}, ' ')"
+    grams = (
+        f"transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n})))"
+    )
+    if distinct:
+        grams = f"array_distinct({grams})"
+    return F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN {grams} ELSE array() END"
+    )
+
+
 def shingle_col(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column as array<string>.
     Whitespace tokenization; empty array when fewer than n tokens."""
-    t = f"split({text_col}, ' ')"
-    return F.expr(
-        f"CASE WHEN size({t}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({t}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({t}, i, {n})))) "
-        f"ELSE array() END"
-    )
+    return word_grams_expr(text_col, n, distinct=True)
 
 
 def exploded_shingles(
@@ -423,7 +444,10 @@ def contamination_flags(
         exploded_shingles(eval_df, id_col, text_col, n, hashed=True)
         .select("shingle").dropDuplicates()
     )
-    sh = exploded_shingles(corpus, id_col, text_col, n, hashed=True).dropDuplicates()
+    # corpus shingles are already per-doc distinct (shingle_col applies
+    # array_distinct) — no dropDuplicates here: that would be a full wide
+    # shuffle of the largest intermediate in the job for nothing
+    sh = exploded_shingles(corpus, id_col, text_col, n, hashed=True)
     return (
         sh.join(F.broadcast(ev), "shingle")
         .groupBy(id_col)

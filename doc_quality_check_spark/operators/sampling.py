@@ -25,8 +25,9 @@ def hash_unit(col: Column, salt: str = "") -> Column:
     """Deterministic hash of a column into [0, 1): md5-prefix bigint mod 1e6.
     Shared semantics with DuckDB (see queries_ext oracle) — the same id maps
     to the same point on both engines."""
-    s = F.concat(F.lit(salt), col.cast("string"))
-    h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    from doc_quality_check_spark.operators.dedup import md5_prefix_hash
+
+    h = md5_prefix_hash(F.concat(F.lit(salt), col.cast("string")))
     return (h % _BUCKETS) / F.lit(float(_BUCKETS))
 
 
@@ -71,11 +72,14 @@ def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
     component table has one row per clustered doc, not per doc."""
     from doc_quality_check_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs, max_iter=max_iter).withColumnRenamed(
-        "id", "__cc_id"
+    comp = (
+        connected_components(pairs, max_iter=max_iter)
+        .withColumnRenamed("id", "__cc_id")
+        .withColumnRenamed("comp", "__cc_comp")  # reserved names: the input
+        # df may legitimately carry its own 'comp'/'split' columns
     )
     joined = df.join(
         F.broadcast(comp), df[id_col] == F.col("__cc_id"), "left"
     ).drop("__cc_id")
-    rep = F.coalesce(F.col("comp"), F.col(id_col).cast("long"))
-    return hash_split(joined, id_col, splits, salt, key_col=rep).drop("comp")
+    rep = F.coalesce(F.col("__cc_comp"), F.col(id_col).cast("long"))
+    return hash_split(joined, id_col, splits, salt, key_col=rep).drop("__cc_comp")

@@ -512,6 +512,10 @@ def q_repetition(spark, sf):
     return d.select("doc_id", repetition_ratio("text", 3).alias("rep_ratio"))
 
 
+# numbers CTE caps the oracle at 100k token positions (Spark is unbounded);
+# a sentinel row makes the gate fail LOUDLY instead of silently diverging if
+# the fixture ever grows a >100k-token document (same pattern as
+# SQL_CHUNK_FANOUT).
 SQL_REPETITION = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 g AS (
@@ -526,6 +530,8 @@ agg AS (
 SELECT d.doc_id,
        round(coalesce(1.0 - CAST(a.dist AS DOUBLE) / a.total, 0.0), 4) AS rep_ratio
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+UNION ALL
+SELECT doc_id, -1.0 FROM toks WHERE len(t) > 100001
 """
 
 
