@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     # training-pipeline operators (documents/embeddings tables)
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "cosine_topk", "lang_id", "token_quality",
+    "hash_split", "contamination",
 ]
 
 
