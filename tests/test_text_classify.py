@@ -153,3 +153,108 @@ def test_priority_reclassify_chain(spark):
            for r in df.select("id", s.alias("s")).collect()}
     for i, _, lab, meth in cases:
         assert got[i] == (lab, meth), (i, got[i])
+
+
+# ---------------------------------------------------------------------------
+# Property-based parity: Catalyst expressions vs faithful Python ports of the
+# reference semantics, over generated inputs (not just hand-picked cases).
+# One Spark job per property run (batched examples), not one per example.
+# ---------------------------------------------------------------------------
+
+def _ref_extract_json_keys(text):
+    """Line-for-line port of reference extract_json_keys
+    (utils/content_extraction.py:150-189)."""
+    import re
+
+    lines = text.split("\n")
+    out = {}
+    for line in lines:
+        m = re.match(r"^\s*([^:]+):\s*(.+)$", line)
+        if m:
+            out[m.group(1).strip()] = m.group(2).strip()
+            continue
+        m = re.match(r"^\s*([^-\n]+)-\s*(.+)$", line)
+        if m:
+            out[m.group(1).strip()] = m.group(2).strip()
+    if not out and text.strip():
+        for i, line in enumerate(lines):
+            if line.strip():
+                out[f"line_{i+1}"] = line.strip()
+    return out
+
+
+def test_kv_extract_property_parity(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from doc_quality_check_spark.functions.text import extract_kv_map
+
+    # words, separators, and structure chosen to hit colon/dash/fallback/
+    # duplicate paths; ASCII to keep regex semantics identical
+    word = st.text(alphabet="abcXY 123:-.", min_size=0, max_size=12)
+    line = st.one_of(
+        st.tuples(word, word).map(lambda t: f"{t[0]}: {t[1]}"),
+        st.tuples(word, word).map(lambda t: f"{t[0]} - {t[1]}"),
+        word,
+        st.just(""),
+        st.just("   "),
+    )
+    texts = st.lists(st.lists(line, min_size=0, max_size=6).map("\n".join),
+                     min_size=1, max_size=24)
+
+    @settings(max_examples=12, deadline=None)
+    @given(batch=texts)
+    def run(batch):
+        df = spark.createDataFrame(list(enumerate(batch)), "id int, txt string")
+        got = {r["id"]: (dict(r["m"]) if r["m"] else {}) for r in
+               df.select("id", extract_kv_map("txt").alias("m")).collect()}
+        for i, text in enumerate(batch):
+            assert got[i] == _ref_extract_json_keys(text), (text, got[i])
+
+    run()
+
+
+def test_priority_reclassify_property_parity(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from doc_quality_check_spark.functions.classify import priority_reclassify
+
+    back = ["signature", "expiry", "mrz"]
+    front = ["nome", "cognome", "photo"]
+
+    def ref(text):
+        if text is None:
+            text = ""
+        low = text.lower()
+        mrz = text.count("<")
+        bs = sum(1 for k in back if k in low)
+        fs = sum(1 for k in front if k in low)
+        if mrz >= 5:
+            return "back", "mrz_pattern"
+        if bs > 0 and bs >= fs:
+            return "back", "back_keywords"
+        if fs > 0 and fs > bs:
+            return "front", "front_keywords"
+        if fs > 0 and len(text) < 200:
+            return "front", "front_keywords_priority"
+        if fs > 0:
+            return "back", "back_keywords_priority"
+        return None, None
+
+    token = st.sampled_from(back + front + ["<<<<<", "<<", "plain", "words", ""])
+    texts = st.lists(
+        st.lists(token, min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=32,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(batch=texts)
+    def run(batch):
+        df = spark.createDataFrame(list(enumerate(batch)), "id int, txt string")
+        s = priority_reclassify("txt", back, front, marker="<", marker_min=5,
+                                short_len=200)
+        got = {r["id"]: (r["s"]["label"], r["s"]["detection_method"])
+               for r in df.select("id", s.alias("s")).collect()}
+        for i, text in enumerate(batch):
+            assert got[i] == ref(text), (text, got[i])
+
+    run()
