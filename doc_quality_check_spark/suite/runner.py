@@ -341,6 +341,9 @@ class SuiteRunner:
             missing = referential_violations(
                 df.select(check.column), catalog, check.column,
                 p.get("ref_column", check.column),
+                # catalogs at 10^12-row scale cannot broadcast — the knob
+                # switches to sort-merge + AQE skew handling
+                broadcast_ref=bool(p.get("broadcast_catalog", True)),
             ).persist()
             n_viol = missing.count()
             extra = missing.select(
