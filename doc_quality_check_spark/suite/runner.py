@@ -125,7 +125,15 @@ class SuiteRunner:
             )
 
         row_checks = suite.row_checks()
-        needs_payload = payload and any(c.kind.startswith("payload_") for c in row_checks)
+        # decode is needed for payload_* checks AND for generic checks that
+        # reference a derived metric column (e.g. in_range on rms_db)
+        from doc_quality_check_spark.functions.audio import AUDIO_METRICS_SCHEMA
+
+        metric_cols = {f.name for f in AUDIO_METRICS_SCHEMA.fields}
+        needs_payload = payload and any(
+            c.kind.startswith("payload_") or (c.column in metric_cols)
+            for c in row_checks
+        )
         df = clips
         if needs_payload:
             # F5 mode dispatch: per-check params["mode"] values win over the
@@ -143,6 +151,16 @@ class SuiteRunner:
                 mode = max(requested, key=strength.__getitem__)
             else:
                 mode = suite.settings.get("payload_mode", "accurate")
+            # generic checks referencing derived metric columns force a tier
+            # that actually produces them: full decode at least; the
+            # spectral column only exists in 'accurate'
+            generic_metric = {
+                c.column for c in row_checks
+                if c.column in metric_cols and not c.kind.startswith("payload_")
+            }
+            if generic_metric:
+                floor = "accurate" if "spectral_flatness" in generic_metric else "fast"
+                mode = max((mode, floor), key=strength.__getitem__)
             df, self.effective_payload_mode = with_payload_metrics(
                 df,
                 checks=payload_checks,

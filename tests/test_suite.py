@@ -100,3 +100,38 @@ def test_metadata_only_run_skips_decode(spark, clips_dir):
     cons = {r["constraint_id"] for r in res.violations.select("constraint_id").distinct().collect()}
     assert "clip_decodable" not in cons and "sr_domain" in cons
     res.unpersist()
+
+
+def test_generic_check_on_metric_column_triggers_decode(spark, clips_dir):
+    """A plain in_range check on a derived metric column (no payload_* kind)
+    must still trigger the decode and a sufficient tier."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).limit(200)
+    suite = CheckSuite(
+        name="metric_range", partition_by=["part_key"],
+        settings={"payload_mode": "superfast"},   # must be overridden to fast
+        checks=[Check("loudness_range", "in_range", "rms_db",
+                      {"min": -80.0, "max": 0.0})],
+    )
+    runner = SuiteRunner(suite)
+    res = runner.run(clips)
+    assert runner.effective_payload_mode == "fast"
+    assert "rms_db" in res.checked.columns
+    assert res.verdicts.count() > 0
+    res.unpersist()
+
+    # spectral-column reference forces the accurate tier
+    suite2 = CheckSuite(
+        name="flatness_range", partition_by=["part_key"],
+        settings={"payload_mode": "fast"},
+        checks=[Check("flat_range", "in_range", "spectral_flatness",
+                      {"min": 0.0, "max": 1.0})],
+    )
+    runner2 = SuiteRunner(suite2)
+    res2 = runner2.run(clips)
+    assert runner2.effective_payload_mode == "accurate"
+    assert res2.checked.filter(F.col("spectral_flatness").isNotNull()).count() > 0
+    res2.unpersist()
