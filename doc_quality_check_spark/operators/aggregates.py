@@ -8,7 +8,9 @@ Reference parity:
 - A4 per-category min/max/avg + pass-rate (tests/analyze_thresholds.py:79-89,
   149-172).
 - A5 percentile distribution (tests/analyze_thresholds.py:99-113) → Spark's
-  built-in approx-quantile sketch ``percentile_approx`` (t-digest-style);
+  built-in approx-quantile sketch ``percentile_approx`` (GK-based) by
+  default, a real mergeable t-digest (:func:`tdigest_quantiles`, the north
+  star's named sketch) via quantile_range params ``method='tdigest'``;
   exact ``percentile`` used when matching a SQL oracle.
 - A6 threshold sweep (tests/analyze_thresholds.py:120-142) — done in ONE scan
   with conditional sums, not one pass per threshold.
@@ -191,3 +193,80 @@ def drift_ks(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     cdf_c = F.try_divide(F.sum("c_cnt").over(w), F.col("ct"))
     cdf_b = F.try_divide(F.sum("b_cnt").over(w), F.col("bt"))
     return j.select(F.abs(cdf_c - cdf_b).alias("d")).agg(F.max("d").alias("ks"))
+
+
+# ---------------------------------------------------------------------------
+# t-digest approximate quantiles (north star: "approx-quantile via t-digest")
+# ---------------------------------------------------------------------------
+
+def _tdigest_compress(means, weights, delta: int):
+    """Dunning's merging t-digest compression: sorted centroids merge while
+    the combined mass stays under 4·N·q(1−q)/delta at the cluster's
+    mid-quantile — small clusters at the tails (accurate extremes), large in
+    the middle."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    means, weights = np.asarray(means, float)[order], np.asarray(weights, float)[order]
+    total = float(weights.sum())
+    out_m: list[float] = [float(means[0])]
+    out_w: list[float] = [float(weights[0])]
+    acc = 0.0  # mass strictly before the current cluster
+    for m, w in zip(means[1:], weights[1:]):
+        cand = out_w[-1] + w
+        q = (acc + cand / 2.0) / total
+        if cand <= max(1.0, 4.0 * total * q * (1.0 - q) / delta):
+            out_m[-1] = (out_m[-1] * out_w[-1] + m * w) / cand
+            out_w[-1] = cand
+        else:
+            acc += out_w[-1]
+            out_m.append(float(m))
+            out_w.append(float(w))
+    return out_m, out_w
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    column: str,
+    probs: list[float],
+    delta: int = 100,
+) -> dict[float, float]:
+    """Approximate quantiles via a MERGEABLE t-digest: each partition builds
+    a ≤~delta-centroid digest over its values (mapInPandas, bounded state),
+    the tiny per-partition centroid sets are collected (P×delta rows — KB,
+    not data) and merged/re-compressed once, then quantiles interpolate the
+    cumulative centroid mass. Same two-level partial/merge shape as any
+    distributive aggregate, so it scales to 10^12 rows with only the
+    centroid tables moving. Tail quantiles are where t-digest beats a plain
+    equi-width sketch: cluster mass shrinks like q(1−q)."""
+    import numpy as np
+    import pandas as pd
+
+    def _partial(batches):
+        vals: list[np.ndarray] = []
+        for pdf in batches:
+            v = pdf[column].to_numpy(dtype=float)
+            vals.append(v[~np.isnan(v)])
+        if vals:
+            v = np.concatenate(vals)
+            if v.size:
+                m, w = _tdigest_compress(v, np.ones_like(v), delta)
+                yield pd.DataFrame({"mean": m, "weight": w})
+
+    cent = df.select(F.col(column).cast("double").alias(column)).mapInPandas(
+        _partial, schema="mean double, weight double"
+    ).collect()
+    if not cent:
+        return {p: float("nan") for p in probs}
+    means = [r["mean"] for r in cent]
+    weights = [r["weight"] for r in cent]
+    m, w = _tdigest_compress(means, weights, delta)
+    m, w = np.asarray(m), np.asarray(w)
+    total = w.sum()
+    # centroid k's mass is centered at its mid-cumulative position
+    cum = np.cumsum(w) - w / 2.0
+    out = {}
+    for p in probs:
+        target = p * total
+        out[p] = float(np.interp(target, cum, m))
+    return out

@@ -205,8 +205,15 @@ class SuiteRunner:
                     resume_cache = with_audio_metrics(full_clips).persist()
                     resume_cache.count()
                     table_df = resume_cache
-            simple = [c for c in table_checks if c.kind in _SIMPLE_AGG_KINDS]
-            complex_ = [c for c in table_checks if c.kind not in _SIMPLE_AGG_KINDS]
+            def _is_simple(c):
+                # quantile_range with method=tdigest runs its own two-level
+                # digest job — it can't fuse into the scalar aggregate
+                if c.kind == "quantile_range" and c.params.get("method") == "tdigest":
+                    return False
+                return c.kind in _SIMPLE_AGG_KINDS
+
+            simple = [c for c in table_checks if _is_simple(c)]
+            complex_ = [c for c in table_checks if not _is_simple(c)]
             results: dict[str, tuple] = {}
             extras: dict[str, DataFrame] = {}
             timings = check_timings
@@ -391,7 +398,18 @@ class SuiteRunner:
             passed = p.get("min", 0) <= d <= p.get("max", float("inf"))
         elif check.kind == "quantile_range":
             q = float(p.get("q", 0.5))
-            val = df.agg(F.expr(f"percentile_approx({check.column}, {q})").alias("v")).first()["v"]
+            if p.get("method") == "tdigest":
+                from doc_quality_check_spark.operators.aggregates import (
+                    tdigest_quantiles,
+                )
+
+                val = tdigest_quantiles(
+                    df, check.column, [q], int(p.get("delta", 100))
+                )[q]
+            else:
+                val = df.agg(
+                    F.expr(f"percentile_approx({check.column}, {q})").alias("v")
+                ).first()["v"]
             metric = float(val)
             n_viol = 0
             passed = p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))

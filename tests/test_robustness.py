@@ -199,3 +199,29 @@ def test_count_min_never_underestimates(spark):
         assert est[v] >= t, (v, est[v], t)
         assert est[v] <= t + 5 * n / 256
     assert est["hot"] >= 500
+
+
+def test_tdigest_quantiles_accuracy_and_mergeability(spark, sf01_dir):
+    """t-digest quantiles: within tight error of exact quantiles, and the
+    result is stable under repartitioning (mergeable partial digests)."""
+    from doc_quality_check_spark.operators.aggregates import tdigest_quantiles
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    probs = [0.01, 0.1, 0.5, 0.9, 0.99]
+    exact = {
+        p: v for p, v in zip(
+            probs,
+            li.selectExpr(
+                "percentile(l_extendedprice, array(0.01,0.1,0.5,0.9,0.99)) AS q"
+            ).first()["q"],
+        )
+    }
+    got = tdigest_quantiles(li, "l_extendedprice", probs, delta=100)
+    spread = exact[0.99] - exact[0.01]
+    for p in probs:
+        assert abs(got[p] - exact[p]) <= 0.02 * spread, (p, got[p], exact[p])
+
+    # mergeability: different partitioning → nearly identical digest output
+    got2 = tdigest_quantiles(li.repartition(17), "l_extendedprice", probs, delta=100)
+    for p in probs:
+        assert abs(got2[p] - exact[p]) <= 0.02 * spread, (p, got2[p], exact[p])

@@ -135,3 +135,30 @@ def test_generic_check_on_metric_column_triggers_decode(spark, clips_dir):
     assert runner2.effective_payload_mode == "accurate"
     assert res2.checked.filter(F.col("spectral_flatness").isNotNull()).count() > 0
     res2.unpersist()
+
+
+def test_quantile_range_tdigest_method(spark, clips_dir):
+    """quantile_range with method=tdigest runs the mergeable digest path and
+    agrees with percentile_approx on the verdict."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(800)
+    suite = CheckSuite(
+        name="tdigest_q", partition_by=["part_key"],
+        checks=[
+            Check("dur_p50", "quantile_range", "dur_ms",
+                  {"q": 0.5, "min": 1, "max": 120000, "method": "tdigest"}),
+            Check("dur_p50_gk", "quantile_range", "dur_ms",
+                  {"q": 0.5, "min": 1, "max": 120000}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, payload=False)
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()
+            if r["constraint_id"].startswith("dur_p50")}
+    assert rows["dur_p50"]["passed"] and rows["dur_p50_gk"]["passed"]
+    # both medians within 5% of each other
+    a, b = rows["dur_p50"]["metric_value"], rows["dur_p50_gk"]["metric_value"]
+    assert abs(a - b) / max(a, b) < 0.05
+    res.unpersist()
