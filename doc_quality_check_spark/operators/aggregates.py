@@ -243,15 +243,21 @@ def tdigest_quantiles(
     import pandas as pd
 
     def _partial(batches):
-        vals: list[np.ndarray] = []
+        # incremental per-batch merge: state is the running centroid set
+        # (~delta entries) + one Arrow batch — NEVER the whole partition
+        m: list[float] = []
+        w: list[float] = []
         for pdf in batches:
             v = pdf[column].to_numpy(dtype=float)
-            vals.append(v[~np.isnan(v)])
-        if vals:
-            v = np.concatenate(vals)
+            v = v[~np.isnan(v)]
             if v.size:
-                m, w = _tdigest_compress(v, np.ones_like(v), delta)
-                yield pd.DataFrame({"mean": m, "weight": w})
+                m, w = _tdigest_compress(
+                    np.concatenate([np.asarray(m), v]),
+                    np.concatenate([np.asarray(w), np.ones_like(v)]),
+                    delta,
+                )
+        if m:
+            yield pd.DataFrame({"mean": m, "weight": w})
 
     cent = df.select(F.col(column).cast("double").alias(column)).mapInPandas(
         _partial, schema="mean double, weight double"

@@ -42,6 +42,16 @@ from doc_quality_check_spark.suite.spec import Check, CheckSuite
 
 GLOBAL_PART = "__global__"
 
+# decode-output columns that can trigger a payload decode when a generic
+# check references them. Deliberately EXCLUDES names a raw table might
+# plausibly carry itself (error, decode_ok, header_sr, n_samples) — for
+# those the raw column always wins.
+DERIVED_METRIC_COLUMNS = {
+    "energy_ratio", "spectral_flatness", "zcr", "decode_conf",
+    "decoded_dur_ms", "rms_db", "peak_db", "clip_fraction",
+    "lead_silence_ms", "trail_silence_ms",
+}
+
 # table-check kinds that lower to scalar aggregates — fused into one agg job
 _SIMPLE_AGG_KINDS = {"completeness_min", "row_count_min", "distinct_range", "quantile_range"}
 
@@ -60,6 +70,14 @@ VERDICT_SCHEMA = StructType(
 
 
 NULL_PART = "__null__"
+
+
+def _param_bool(v) -> bool:
+    """Check-param boolean that survives JSON string authoring: the strings
+    'false'/'no'/'0'/'' parse as False (plain bool('false') would be True)."""
+    if isinstance(v, str):
+        return v.strip().lower() not in ("false", "no", "0", "")
+    return bool(v)
 
 
 def part_key_col(part_cols: list[str]):
@@ -126,12 +144,26 @@ class SuiteRunner:
 
         row_checks = suite.row_checks()
         # decode is needed for payload_* checks AND for generic checks that
-        # reference a derived metric column (e.g. in_range on rms_db)
-        from doc_quality_check_spark.functions.audio import AUDIO_METRICS_SCHEMA
+        # reference a DERIVED metric column (e.g. in_range on rms_db) —
+        # unless the raw table already carries a column of that name, in
+        # which case the raw column wins (no silent shadowing by decode
+        # output). expr-kind checks are scanned textually for metric names.
+        import re as _re
 
-        metric_cols = {f.name for f in AUDIO_METRICS_SCHEMA.fields}
+        metric_cols = {
+            c for c in DERIVED_METRIC_COLUMNS if c not in clips.columns
+        }
+
+        def _references_metric(c) -> bool:
+            if c.column in metric_cols:
+                return True
+            if c.kind == "expr":
+                expr = str(c.params.get("expr", ""))
+                return any(_re.search(rf"\b{m}\b", expr) for m in metric_cols)
+            return False
+
         needs_payload = payload and any(
-            c.kind.startswith("payload_") or (c.column in metric_cols)
+            c.kind.startswith("payload_") or _references_metric(c)
             for c in row_checks
         )
         df = clips
@@ -168,7 +200,13 @@ class SuiteRunner:
                 escalate_below=float(suite.settings.get("escalate_below", 15.0)),
             )
         else:
-            row_checks = [c for c in row_checks if not c.kind.startswith("payload_")]
+            # metadata-only path: skip payload_* checks AND generic checks
+            # that reference derived metric columns (same skip semantics —
+            # no decode means those columns don't exist)
+            row_checks = [
+                c for c in row_checks
+                if not c.kind.startswith("payload_") and not _references_metric(c)
+            ]
             df = df.drop("bytes")
         df = with_row_checks(df, row_checks).persist()
 
@@ -186,25 +224,27 @@ class SuiteRunner:
             # on a warm cache. Scalar aggregates are fused into one job first.
             df.count()
             # On resume, table checks run on the FULL input, not the pending
-            # subset. Use the raw table (bytes pruned at scan) unless a check
-            # references a derived metric column, which forces a full decode.
-            table_df = df
+            # subset. On either path, a table check referencing a derived
+            # metric column absent from table_df forces a full decode —
+            # persisted + materialized ONCE before the concurrent check pool
+            # (otherwise every worker thread triggers its own decode pass,
+            # the single most expensive stage). Accurate-tier metrics
+            # deliberately: table-check thresholds assume full metrics.
+            table_df = full_clips.drop("bytes") if resuming else df
             resume_cache = None
-            if resuming:
-                raw_cols = set(full_clips.columns)
-                needed = {c.column for c in table_checks if c.column}
-                if needed <= raw_cols:
-                    table_df = full_clips.drop("bytes")
-                else:
-                    # full-input decode needed for metric-column checks:
-                    # persist + materialize ONCE before the concurrent check
-                    # pool — otherwise every worker thread would trigger its
-                    # own full decode pass (the single most expensive stage).
-                    # Accurate-tier metrics deliberately: table-check
-                    # thresholds were calibrated against full metrics.
-                    resume_cache = with_audio_metrics(full_clips).persist()
+            needed = {c.column for c in table_checks if c.column}
+            missing = needed - set(table_df.columns)
+            if missing:
+                if payload and missing & DERIVED_METRIC_COLUMNS:
+                    src = full_clips if resuming else clips
+                    resume_cache = with_audio_metrics(src).persist()
                     resume_cache.count()
                     table_df = resume_cache
+                else:
+                    raise ValueError(
+                        f"table checks reference missing columns: {sorted(missing)}"
+                        + ("" if payload else " (payload=False, decode disabled)")
+                    )
             def _is_simple(c):
                 # quantile_range with method=tdigest runs its own two-level
                 # digest job — it can't fuse into the scalar aggregate
@@ -367,8 +407,9 @@ class SuiteRunner:
                 df.select(check.column), catalog, check.column,
                 p.get("ref_column", check.column),
                 # catalogs at 10^12-row scale cannot broadcast — the knob
-                # switches to sort-merge + AQE skew handling
-                broadcast_ref=bool(p.get("broadcast_catalog", True)),
+                # switches to sort-merge + AQE skew handling. String-safe:
+                # JSON-authored "false"/"no"/"0" must not coerce to True.
+                broadcast_ref=_param_bool(p.get("broadcast_catalog", True)),
             ).persist()
             n_viol = missing.count()
             extra = missing.select(
@@ -410,7 +451,7 @@ class SuiteRunner:
                 val = df.agg(
                     F.expr(f"percentile_approx({check.column}, {q})").alias("v")
                 ).first()["v"]
-            metric = float(val)
+            metric = float(val) if val is not None else 0.0  # all-null column
             n_viol = 0
             passed = p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
         elif check.kind in ("drift_psi", "drift_ks"):

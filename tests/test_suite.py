@@ -162,3 +162,40 @@ def test_quantile_range_tdigest_method(spark, clips_dir):
     a, b = rows["dur_p50"]["metric_value"], rows["dur_p50_gk"]["metric_value"]
     assert abs(a - b) / max(a, b) < 0.05
     res.unpersist()
+
+
+def test_table_check_on_metric_column_fresh_run(spark, clips_dir):
+    """A fresh (non-resume) run whose only metric-column reference is a
+    TABLE-level check still decodes — once, persisted — and a payload=False
+    run skips generic metric row checks instead of crashing."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).limit(200)
+    suite = CheckSuite(
+        name="metric_table_check", partition_by=["part_key"],
+        checks=[
+            Check("id_ok", "not_null", "clip_id", priority=1),
+            Check("rms_p50", "quantile_range", "rms_db",
+                  {"q": 0.5, "min": -120.0, "max": 0.0, "method": "tdigest"}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips)
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert rows["rms_p50"]["passed"]
+    assert -120.0 < rows["rms_p50"]["metric_value"] < 0.0
+    res.unpersist()
+
+    # payload=False: the metric row check is skipped, not crashed
+    suite2 = CheckSuite(
+        name="metric_row_nopayload", partition_by=["part_key"],
+        checks=[
+            Check("id_ok", "not_null", "clip_id", priority=1),
+            Check("loudness", "in_range", "rms_db", {"min": -80.0, "max": 0.0}),
+        ],
+    )
+    res2 = SuiteRunner(suite2).run(clips.drop("bytes"), payload=False)
+    cids = {r["constraint_id"] for r in res2.verdicts.collect()}
+    assert "loudness" not in cids and "id_ok" in cids
+    res2.unpersist()
