@@ -227,3 +227,35 @@ def test_job_records_source_lineage(spark, clips_dir, tmp_path):
     m = job.manifests.load(jr.manifest.run_id)
     assert m.input_lineage["source"]["kind"] == "parquet"
     assert m.input_lineage["source"]["n_files"] == lin["n_files"]
+
+
+def test_job_resume_with_metric_table_check(spark, clips_dir, tmp_path):
+    """Resume path where a table check references a derived metric column:
+    the full input is re-decoded once (persisted) for the global check while
+    row-level work still skips completed partitions."""
+    out = str(tmp_path / "job_resume_metric")
+    clips = load_clips(spark, clips_dir).limit(600)
+    suite = CheckSuite(
+        name="resume_metric", partition_by=["part_key"],
+        checks=[
+            Check("clip_decodable", "payload_decode", "bytes",
+                  {"threshold": 15.0}, priority=1),
+            Check("conf_p50", "quantile_range", "decode_conf",
+                  {"q": 0.5, "min": 0.0, "max": 100.0}),
+        ],
+    )
+    job = ValidationJob(suite, out)
+    jr1 = job.run(clips, payload=True)
+    m1 = job.manifests.load(jr1.manifest.run_id)
+    done = [pk for pk in m1.partitions if pk != GLOBAL_PART][:1]
+    m1.partitions = {pk: m1.partitions[pk] for pk in done}
+    m1.status = "running"
+    job.manifests.save(m1)
+
+    jr2 = job.run(clips, payload=True, resume=True)
+    rows = {r["constraint_id"]: r for r in jr2.result.verdicts.collect()
+            if r["part_key"] == GLOBAL_PART}
+    # the metric table check ran on the FULL input despite the resume filter
+    assert rows["conf_p50"]["passed"]
+    assert 0.0 <= rows["conf_p50"]["metric_value"] <= 100.0
+    jr2.result.unpersist()
