@@ -285,3 +285,33 @@ def repetition_ratio(col: str, n: int = 3) -> Column:
         F.when(total > 0, 1.0 - F.try_divide(distinct, total)).otherwise(F.lit(0.0)),
         4,
     )
+
+
+# PII patterns — RE2-compatible, bracket classes only (no backslash classes)
+# so the DuckDB oracle embeds the IDENTICAL pattern string with no escape
+# divergence between engines.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    "ipv4": (r"([0-9]{1,3}[.]){3}[0-9]{1,3}", "[IP]"),
+}
+
+
+def pii_flags(col: str) -> list[Column]:
+    """One boolean ``has_<class>`` column per PII class — the detection side
+    of the standard pre-training PII pass."""
+    return [
+        F.col(col).rlike(pat).alias(f"has_{label}")
+        for label, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Replace every PII occurrence with its class placeholder
+    ([EMAIL]/[PHONE]/[IP]) — chained regexp_replace, one codegen'd
+    expression; emails scrub first so an address is never half-eaten by the
+    broader patterns."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, (pat, repl) in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, repl)
+    return out

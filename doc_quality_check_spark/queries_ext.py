@@ -477,6 +477,59 @@ FROM reach GROUP BY id
 """
 
 
+def q_pii_scrub(spark, sf):
+    """PII detection + scrubbing (emails / phones / IPv4 → class
+    placeholders) — the standard pre-training privacy pass. PII is
+    synthesized deterministically onto the fixture text; the scrubbed text
+    is compared via md5 so result rows stay small."""
+    from doc_quality_check_spark.functions.text import pii_flags, scrub_pii
+
+    d = t(spark, sf, "documents")
+    txt = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"), F.lit("@example.com now")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"),
+                       F.lit(" call 555-123-4567 or ping 192.168.1.99 today")))
+        .otherwise(F.col("text"))
+    )
+    src = d.select("doc_id", txt.alias("ptext"))
+    return src.select(
+        "doc_id",
+        *pii_flags("ptext"),
+        F.md5(scrub_pii("ptext")).alias("scrub_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from doc_quality_check_spark.functions.text import PII_PATTERNS
+
+    email, phone, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ipv4"))
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(ptext, "
+        f"'{email}', '[EMAIL]', 'g'), '{phone}', '[PHONE]', 'g'), "
+        f"'{ip}', '[IP]', 'g')"
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              WHEN doc_id % 3 = 1
+              THEN text || ' call 555-123-4567 or ping 192.168.1.99 today'
+              ELSE text END AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       regexp_matches(ptext, '{email}') AS has_email,
+       regexp_matches(ptext, '{phone}') AS has_phone,
+       regexp_matches(ptext, '{ip}') AS has_ipv4,
+       md5({scrub}) AS scrub_md5
+FROM src
+"""
+
+
 def q_contamination(spark, sf):
     """Eval-set decontamination: corpus docs sharing >= 2 distinct 3-grams
     with any eval doc (eval set = doc_id % 10 == 0, deterministic). Eval
@@ -1403,6 +1456,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_safe_split": q_cluster_safe_split,
     "contamination": q_contamination,
     "repetition": q_repetition,
+    "pii_scrub": q_pii_scrub,
     "minhash_signatures": q_minhash_signatures,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "simhash_values": q_simhash_values,
@@ -1446,6 +1500,7 @@ ORACLES_EXT: dict[str, str] = {
     "cluster_safe_split": _cluster_split_sql(),
     "contamination": _contamination_sql(),
     "repetition": SQL_REPETITION,
+    "pii_scrub": _pii_sql(),
     "minhash_signatures": SQL_MINHASH_SIG,
     "dedup_minhash_lsh": _minhash_lsh_sql(),
     "simhash_values": SQL_SIMHASH_VALUES,

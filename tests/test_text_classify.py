@@ -258,3 +258,22 @@ def test_priority_reclassify_property_parity(spark):
             assert got[i] == ref(text), (text, got[i])
 
     run()
+
+
+def test_pii_flags_and_scrub(spark):
+    from doc_quality_check_spark.functions.text import pii_flags, scrub_pii
+
+    rows = [
+        (1, "write to jane.doe+x@corp.example.org or call 555-123-4567"),
+        (2, "server at 10.0.0.1 and 192.168.100.200 responded"),
+        (3, "no personal data here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, txt string")
+    out = {r["id"]: r for r in
+           df.select("id", *pii_flags("txt"), scrub_pii("txt").alias("s")).collect()}
+    assert out[1]["has_email"] and out[1]["has_phone"] and not out[1]["has_ipv4"]
+    assert out[2]["has_ipv4"] and not out[2]["has_email"]
+    assert not any([out[3]["has_email"], out[3]["has_phone"], out[3]["has_ipv4"]])
+    assert out[1]["s"] == "write to [EMAIL] or call [PHONE]"
+    assert out[2]["s"] == "server at [IP] and [IP] responded"
+    assert out[3]["s"] == rows[2][1]
