@@ -217,6 +217,14 @@ class SuiteRunner:
         table_checks = suite.table_checks()
         table_verdict_rows: list[tuple] = []
         check_timings: dict[str, float] = {}
+        # schema_match validates the RAW input schema (pure metadata — the
+        # checked df has bytes dropped and metric columns added, so it must
+        # not be the comparison target); evaluated inline, no Spark job.
+        schema_checks = [c for c in table_checks if c.kind == "schema_match"]
+        table_checks = [c for c in table_checks if c.kind != "schema_match"]
+        for check in schema_checks:
+            table_verdict_rows.append(self._run_schema_check(full_clips, check))
+            check_timings[check.constraint_id] = 0.0
         if table_checks:
             # materialize the decode/row-check cache ONCE (a single barrier
             # job), then evaluate table checks CONCURRENTLY — each is a small
@@ -382,6 +390,21 @@ class SuiteRunner:
             out[cid] = (GLOBAL_PART, cid, n_rows if has_n else None,
                         0, bool(passed), metric)
         return out
+
+    def _run_schema_check(self, raw_df, check: Check) -> tuple:
+        """schema_match (the north rule's 'schema + constraint' engine):
+        every expected column must exist on the RAW input with the expected
+        Spark simpleString type; pure metadata — no Spark job runs.
+        params: {"columns": {"clip_id": "string", "sr_hz": "int", ...},
+                 "allow_extra": bool (default True)}."""
+        p = check.params
+        expected = {k: str(v).lower() for k, v in p.get("columns", {}).items()}
+        actual = {f.name: f.dataType.simpleString() for f in raw_df.schema.fields}
+        mismatches = [c for c, typ in expected.items() if actual.get(c) != typ]
+        if not _param_bool(p.get("allow_extra", True)):
+            mismatches += [c for c in actual if c not in expected]
+        return (GLOBAL_PART, check.constraint_id, None, len(mismatches),
+                not mismatches, float(len(mismatches)))
 
     def _run_table_check(self, df, check: Check, catalog, baseline):
         """Evaluate one table-level check eagerly (each is a tiny aggregate).

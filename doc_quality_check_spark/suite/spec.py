@@ -14,9 +14,10 @@ Row-level (compile to a boolean ``Column``; failures become violation rows):
   ``not_null | min | max | in_range | isin | regex_match | regex_not_match |
   expr | payload_energy | payload_decode | payload_sr_consistency |
   payload_dur_consistency | payload_clipping | transcript_match``
-Table-level (evaluated by the runner as aggregates / joins):
+Table-level (evaluated by the runner as aggregates / joins; schema_match
+is pure metadata — no job):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
-  drift_ks | distinct_range | quantile_range``
+  drift_ks | distinct_range | quantile_range | schema_match``
 
 Default thresholds mirror the reference: readability threshold 15
 (/root/reference/test_readability.py:15), emptiness threshold 0.5%
@@ -55,6 +56,7 @@ TABLE_LEVEL_KINDS = {
     "drift_ks",
     "distinct_range",
     "quantile_range",
+    "schema_match",
 }
 
 

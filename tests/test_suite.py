@@ -199,3 +199,31 @@ def test_table_check_on_metric_column_fresh_run(spark, clips_dir):
     cids = {r["constraint_id"] for r in res2.verdicts.collect()}
     assert "loudness" not in cids and "id_ok" in cids
     res2.unpersist()
+
+
+def test_schema_match_check(spark, clips_dir):
+    """schema_match validates the RAW input schema (names + Spark types),
+    unaffected by decode-time column changes."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).limit(100)
+    good = Check("schema_ok", "schema_match", None, {
+        "columns": {"clip_id": "string", "bytes": "binary",
+                    "sr_hz": "int", "dur_ms": "int", "transcript": "string"},
+    })
+    bad = Check("schema_bad", "schema_match", None, {
+        "columns": {"clip_id": "bigint",          # wrong type
+                    "missing_col": "string"},      # absent column
+    })
+    suite = CheckSuite(
+        name="schema", partition_by=["part_key"],
+        checks=[Check("id_ok", "not_null", "clip_id", priority=1), good, bad],
+    )
+    res = SuiteRunner(suite).run(clips, payload=True)  # bytes dropped post-decode
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert rows["schema_ok"]["passed"]                 # incl. bytes: binary
+    assert not rows["schema_bad"]["passed"]
+    assert rows["schema_bad"]["n_violations"] == 2
+    res.unpersist()
