@@ -177,3 +177,22 @@ def test_windowed_pass_rates_on_batch_df(spark):
     assert out["2026-01-01 12:00:00"]["n_rows"] == 2
     assert out["2026-01-01 12:00:00"]["n_invalid"] == 1
     assert out["2026-01-01 12:05:00"]["pass_rate"] == 1.0
+
+
+def test_windowed_pass_rates_group_cols(spark):
+    """group_cols adds a grouping dimension alongside the event-time window."""
+    from doc_quality_check_spark.streaming.windowed import windowed_pass_rates
+    from doc_quality_check_spark.suite.spec import Check
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("a", t0, "flac", 100), ("b", t0, "flac", 9000),
+        ("c", t0, "pcm_s16le", 100),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, ts timestamp, codec string, dur_ms int")
+    checks = [Check("dur_range", "in_range", "dur_ms", {"min": 1, "max": 1000})]
+    out = {(str(r["window"]["start"]), r["codec"]): r for r in
+           windowed_pass_rates(df, checks, window_len="5 minutes",
+                               group_cols=["codec"]).collect()}
+    assert out[("2026-01-01 12:00:00", "flac")]["n_invalid"] == 1
+    assert out[("2026-01-01 12:00:00", "pcm_s16le")]["pass_rate"] == 1.0
