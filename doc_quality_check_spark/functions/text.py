@@ -55,12 +55,27 @@ def clean_text(col: str | Column) -> Column:
     return F.trim(out)
 
 
-def artifact_flags(col: str) -> list[Column]:
-    """One boolean column per artifact class."""
+def _pattern_flags(col: str, patterns: dict[str, str]) -> list[Column]:
+    """One boolean ``has_<label>`` column per pattern class — shared by the
+    artifact (F12-F14) and PII passes."""
     return [
         F.col(col).rlike(pat).alias(f"has_{label}")
-        for label, pat in ARTIFACT_PATTERNS.items()
+        for label, pat in patterns.items()
     ]
+
+
+def _pattern_scrub(col: str | Column, pairs) -> Column:
+    """Chained regexp_replace over (pattern, replacement) pairs, in order —
+    one codegen'd expression; shared by the artifact and PII scrubs."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, repl in pairs:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def artifact_flags(col: str) -> list[Column]:
+    """One boolean column per artifact class."""
+    return _pattern_flags(col, ARTIFACT_PATTERNS)
 
 
 def artifact_types(col: str) -> Column:
@@ -75,10 +90,7 @@ def artifact_types(col: str) -> Column:
 
 def scrub_artifacts(col: str | Column) -> Column:
     """F12: remove every artifact occurrence (chained regexp_replace)."""
-    out = F.col(col) if isinstance(col, str) else col
-    for pat in ARTIFACT_PATTERNS.values():
-        out = F.regexp_replace(out, pat, " ")
-    return out
+    return _pattern_scrub(col, ((p, " ") for p in ARTIFACT_PATTERNS.values()))
 
 
 def token_count(col: str) -> Column:
@@ -300,18 +312,12 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 def pii_flags(col: str) -> list[Column]:
     """One boolean ``has_<class>`` column per PII class — the detection side
     of the standard pre-training PII pass."""
-    return [
-        F.col(col).rlike(pat).alias(f"has_{label}")
-        for label, (pat, _) in PII_PATTERNS.items()
-    ]
+    return _pattern_flags(col, {k: pat for k, (pat, _) in PII_PATTERNS.items()})
 
 
 def scrub_pii(col: str | Column) -> Column:
     """Replace every PII occurrence with its class placeholder
-    ([EMAIL]/[PHONE]/[IP]) — chained regexp_replace, one codegen'd
-    expression; emails scrub first so an address is never half-eaten by the
-    broader patterns."""
-    out = F.col(col) if isinstance(col, str) else col
-    for _, (pat, repl) in PII_PATTERNS.items():
-        out = F.regexp_replace(out, pat, repl)
-    return out
+    ([EMAIL]/[PHONE]/[IP]) — PII_PATTERNS insertion order (emails first so
+    an address is never half-eaten by the broader patterns); the DuckDB
+    oracle nests its replaces in the SAME iteration order."""
+    return _pattern_scrub(col, PII_PATTERNS.values())

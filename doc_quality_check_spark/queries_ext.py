@@ -506,11 +506,11 @@ def _pii_sql() -> str:
     from doc_quality_check_spark.functions.text import PII_PATTERNS
 
     email, phone, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ipv4"))
-    scrub = (
-        f"regexp_replace(regexp_replace(regexp_replace(ptext, "
-        f"'{email}', '[EMAIL]', 'g'), '{phone}', '[PHONE]', 'g'), "
-        f"'{ip}', '[IP]', 'g')"
-    )
+    # nest the scrub in PII_PATTERNS iteration order so the oracle can never
+    # diverge from scrub_pii's chained-replace order
+    scrub = "ptext"
+    for pat, repl in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
     return f"""
 WITH src AS (
   SELECT doc_id,

@@ -398,8 +398,12 @@ class SuiteRunner:
         params: {"columns": {"clip_id": "string", "sr_hz": "int", ...},
                  "allow_extra": bool (default True)}."""
         p = check.params
+        # case-insensitive on BOTH sides: simpleString() preserves nested
+        # field-name case (struct<Lang:string>), which must not fail a match
         expected = {k: str(v).lower() for k, v in p.get("columns", {}).items()}
-        actual = {f.name: f.dataType.simpleString() for f in raw_df.schema.fields}
+        actual = {
+            f.name: f.dataType.simpleString().lower() for f in raw_df.schema.fields
+        }
         mismatches = [c for c, typ in expected.items() if actual.get(c) != typ]
         if not _param_bool(p.get("allow_extra", True)):
             mismatches += [c for c in actual if c not in expected]
