@@ -432,9 +432,12 @@ def contamination_flags(
     min_shared: int = 2,
 ) -> DataFrame:
     """Eval-set decontamination: flag corpus documents sharing at least
-    ``min_shared`` distinct word n-grams with ANY eval document →
-    (id, n_shared). The standard pre-training hygiene step (published as
-    n-gram-overlap decontamination in LLM training reports).
+    ``min_shared`` distinct word n-grams with the eval set AS A WHOLE
+    (the union of all eval documents' shingles) → (id, n_shared). Shingles
+    matching two different eval docs both count — the standard pre-training
+    hygiene semantics (n-gram-overlap decontamination in LLM training
+    reports), and what the oracle pins. For per-eval-doc thresholds, group
+    the join by eval doc id instead of deduplicating the eval shingles.
 
     Plan shape at 10^12 rows: the eval set is small → its distinct shingle
     hashes BROADCAST; the corpus explodes to (id, shingle) once and

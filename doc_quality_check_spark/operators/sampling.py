@@ -81,5 +81,12 @@ def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
     joined = df.join(
         F.broadcast(comp), df[id_col] == F.col("__cc_id"), "left"
     ).drop("__cc_id")
-    rep = F.coalesce(F.col("__cc_comp"), F.col(id_col).cast("long"))
+    # coalesce in STRING space: casting a non-numeric string id to long
+    # yields NULL, which would silently dump every singleton into the last
+    # split and break the ratio/leakage guarantees for string-id corpora.
+    # comp values are themselves ids, so string hashing stays consistent
+    # with plain hash_split for numeric ids ("5" either way).
+    rep = F.coalesce(
+        F.col("__cc_comp").cast("string"), F.col(id_col).cast("string")
+    )
     return hash_split(joined, id_col, splits, salt, key_col=rep).drop("__cc_comp")

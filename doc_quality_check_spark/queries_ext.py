@@ -1154,8 +1154,10 @@ WITH g AS (
   FROM events
 ),
 s AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  -- window sum over INT is HUGEINT in DuckDB (decimal128 over Arrow); Spark
+  -- emits int64 — cast, as for every other integer sum (driver hash parity)
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -162,9 +162,13 @@ class SuiteRunner:
                 return any(_re.search(rf"\b{m}\b", expr) for m in metric_cols)
             return False
 
+        # table-level checks (e.g. quantile_range on spectral_flatness) also
+        # demand decode and count toward the mode floor — otherwise they'd
+        # silently compute their verdict over an all-NULL column
+        table_checks = suite.table_checks()
         needs_payload = payload and any(
             c.kind.startswith("payload_") or _references_metric(c)
-            for c in row_checks
+            for c in [*row_checks, *table_checks]
         )
         df = clips
         if needs_payload:
@@ -183,11 +187,18 @@ class SuiteRunner:
                 mode = max(requested, key=strength.__getitem__)
             else:
                 mode = suite.settings.get("payload_mode", "accurate")
+            if mode not in strength:
+                # unknown mode string falls back to 'balanced' (same rule as
+                # with_payload_metrics) — must happen before the strength
+                # comparison below, which would otherwise KeyError
+                mode = "balanced"
             # generic checks referencing derived metric columns force a tier
             # that actually produces them: full decode at least; the
-            # spectral column only exists in 'accurate'
+            # spectral column only exists in 'accurate'. Table-level checks
+            # count too (a quantile_range on spectral_flatness needs the
+            # column populated, not merely present-and-NULL).
             generic_metric = {
-                c.column for c in row_checks
+                c.column for c in [*row_checks, *table_checks]
                 if c.column in metric_cols and not c.kind.startswith("payload_")
             }
             if generic_metric:
@@ -214,7 +225,6 @@ class SuiteRunner:
         viols = row_violations(df, row_checks, id_col=id_col, part_cols=part_cols)
         verdicts = self._partition_verdicts(df, row_checks, part_cols)
 
-        table_checks = suite.table_checks()
         table_verdict_rows: list[tuple] = []
         check_timings: dict[str, float] = {}
         # schema_match validates the RAW input schema (pure metadata — the
@@ -385,7 +395,12 @@ class SuiteRunner:
             elif c.kind == "distinct_range":
                 passed = p.get("min", 0) <= metric <= p.get("max", float("inf"))
             else:
-                passed = p.get("min", float("-inf")) <= metric <= p.get("max", float("inf"))
+                # quantile over an all-NULL column is NULL: no value can
+                # attest the bound — fail (same rule as _run_table_check)
+                passed = (
+                    row[cid] is not None
+                    and p.get("min", float("-inf")) <= metric <= p.get("max", float("inf"))
+                )
             has_n = c.kind in ("completeness_min", "row_count_min")
             out[cid] = (GLOBAL_PART, cid, n_rows if has_n else None,
                         0, bool(passed), metric)
@@ -480,7 +495,12 @@ class SuiteRunner:
                 ).first()["v"]
             metric = float(val) if val is not None else 0.0  # all-null column
             n_viol = 0
-            passed = p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
+            # all-null column: no quantile exists, the bound cannot be
+            # attested — fail rather than compare against None (TypeError)
+            passed = (
+                val is not None
+                and p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
+            )
         elif check.kind in ("drift_psi", "drift_ks"):
             if baseline is None:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")

@@ -146,3 +146,35 @@ def test_contamination_and_repetition(spark):
            rep.select("doc_id", repetition_ratio("text", 3).alias("r")).collect()}
     assert got[1] > 0.8      # one distinct 3-gram over six positions
     assert got[2] == 0.0     # all 3-grams unique
+
+
+def test_cluster_safe_split_string_ids(spark):
+    """String-id corpora (ADVICE r2): singletons must hash by their OWN id in
+    string space — a long-cast would NULL every non-numeric id and dump all
+    singletons into the last split."""
+    from collections import Counter
+
+    from doc_quality_check_spark.operators.sampling import (
+        cluster_safe_split, hash_split,
+    )
+
+    df = spark.createDataFrame(
+        [(f"doc-{i}", f"text {i}") for i in range(2000)],
+        "doc_id string, text string")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    pairs = spark.createDataFrame(
+        [("doc-0", "doc-1"), ("doc-1", "doc-2"), ("doc-10", "doc-11")],
+        "id_a string, id_b string")
+    out = {r["doc_id"]: r["split"] for r in
+           cluster_safe_split(df, "doc_id", pairs, splits).collect()}
+    frac = Counter(out.values())
+    # ratios hold for string ids (pre-fix: 100% landed in 'test')
+    assert 0.75 < frac["train"] / 2000 < 0.85
+    assert frac["test"] / 2000 < 0.15
+    # clusters stay together
+    assert len({out[f"doc-{i}"] for i in (0, 1, 2)}) == 1
+    assert len({out[f"doc-{i}"] for i in (10, 11)}) == 1
+    # singletons match plain hash_split (representative == own id)
+    plain = {r["doc_id"]: r["split"] for r in
+             hash_split(df, "doc_id", splits).collect()}
+    assert out["doc-500"] == plain["doc-500"]

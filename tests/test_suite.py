@@ -227,3 +227,79 @@ def test_schema_match_check(spark, clips_dir):
     assert not rows["schema_bad"]["passed"]
     assert rows["schema_bad"]["n_violations"] == 2
     res.unpersist()
+
+
+def test_quantile_range_all_null_column_fails_cleanly(spark, clips_dir):
+    """quantile_range over an all-NULL column must produce a FAILED verdict,
+    not a TypeError crash (ADVICE r2: passed compared raw None)."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = (load_clips(spark, clips_dir).drop("bytes").limit(100)
+             .withColumn("allnull", F.lit(None).cast("double")))
+    suite = CheckSuite(
+        name="allnull_q", partition_by=["part_key"],
+        checks=[
+            Check("id_ok", "not_null", "clip_id", priority=1),
+            Check("null_p50", "quantile_range", "allnull",
+                  {"q": 0.5, "min": 0.0, "max": 1.0}),
+            Check("null_p50_td", "quantile_range", "allnull",
+                  {"q": 0.5, "min": 0.0, "max": 1.0, "method": "tdigest"}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, payload=False)
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert not rows["null_p50"]["passed"]
+    assert not rows["null_p50_td"]["passed"]
+    res.unpersist()
+
+
+def test_unknown_payload_mode_falls_back(spark, clips_dir):
+    """An unrecognized settings['payload_mode'] falls back to 'balanced'
+    before the strength-floor comparison (ADVICE r2: KeyError) — and the
+    metric-column floor still lifts it to 'fast'."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).limit(100)
+    suite = CheckSuite(
+        name="bad_mode", partition_by=["part_key"],
+        settings={"payload_mode": "turbo"},
+        checks=[Check("loudness", "in_range", "rms_db",
+                      {"min": -120.0, "max": 0.0})],
+    )
+    runner = SuiteRunner(suite)
+    res = runner.run(clips)
+    assert runner.effective_payload_mode == "fast"
+    assert res.checked.filter(F.col("rms_db").isNotNull()).count() > 0
+    res.unpersist()
+
+
+def test_table_check_lifts_payload_mode_floor(spark, clips_dir):
+    """ADVICE r2: a TABLE-level check on spectral_flatness while the row
+    checks request 'fast' must lift the decode tier to 'accurate' — the fast
+    tier leaves the column present but NULL, silently voiding the verdict."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).limit(200)
+    suite = CheckSuite(
+        name="table_floor", partition_by=["part_key"],
+        checks=[
+            Check("decodable", "payload_decode", None,
+                  {"mode": "fast", "min_conf": 1.0}, priority=1),
+            Check("flat_p50", "quantile_range", "spectral_flatness",
+                  {"q": 0.5, "min": 0.0, "max": 1.0}),
+        ],
+    )
+    runner = SuiteRunner(suite)
+    res = runner.run(clips)
+    assert runner.effective_payload_mode == "accurate"
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    # verdict computed from real values, not NULLs
+    assert rows["flat_p50"]["passed"]
+    assert 0.0 < rows["flat_p50"]["metric_value"] < 1.0
+    res.unpersist()

@@ -8,6 +8,7 @@ stringified with float normalization).
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import sys
@@ -20,6 +21,13 @@ sys.path.insert(0, "/root/repo")
 def norm(v):
     if v is None:
         return "NULL"
+    # Decimal is deliberately NOT normalized to int/float: the driver's hash
+    # distinguishes DuckDB HUGEINT/DECIMAL (Arrow decimal128) from Spark's
+    # int64/double, and fetchall()-era Python-int coercion hid exactly that
+    # divergence twice (r1 sums, r2 sessionize window sum). Tag it so any
+    # decimal-typed oracle column hash-fails locally until the SQL casts it.
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -63,9 +71,14 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
         if name not in oracles:
             print(f"  {name:24s} rows={len(srows):6d}  (no oracle — rows-only check)")
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        # Arrow fetch, mirroring the driver: fetchall() coerces HUGEINT to
+        # Python int and hides decimal128-vs-int64 divergence (see norm()).
+        atable = con.execute(oracles[name]).fetch_arrow_table()
+        dcols = atable.column_names
+        dcolumns = [atable.column(c).to_pylist() for c in dcols]
+        drows = list(zip(*dcolumns)) if dcols else []
+        if atable.num_rows and not drows:
+            drows = [()] * atable.num_rows
         s_hash = table_hash(scols, [[r[c] for c in scols] for r in srows])
         d_hash = table_hash(dcols, drows)
         ok_rows = len(srows) == len(drows)
