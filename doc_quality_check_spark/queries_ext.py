@@ -753,21 +753,22 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= 10
 """
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-    for i in range(8)
-)
+# the seeded random-hyperplane bucket, as DuckDB SQL — the literal-coefficient
+# twin of sign_bucket_expr (identical IEEE expression on both engines)
+from doc_quality_check_spark.operators.similarity import sign_bucket_sql as _sb_sql
+
+_BUCKET_SQL = _sb_sql("embedding", n_bits=8, dim=64)
 
 
 def q_ann_sign_lsh(spark, sf):
     e = t(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return sign_lsh_topk(e, q, k=3, n_bits=8)
+    return sign_lsh_topk(e, q, k=3, n_bits=8, dim=64)
 
 
 SQL_ANN_SIGN_LSH = f"""
 WITH {_DIMS_CTE},
-bk AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+bk AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
 dots AS (
   SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, sum(q.x * d.x) AS dot
   FROM dims q
@@ -878,7 +879,7 @@ def q_embedding_neardup(spark, sf):
 
 SQL_EMBEDDING_NEARDUP = f"""
 WITH {_DIMS_CTE},
-bk AS (SELECT vec_id, CAST({_BUCKET_SQL} AS INT) AS bucket FROM embeddings),
+bk AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
