@@ -45,12 +45,29 @@ def stream_validate(
     schema_ddl: str = CLIPS_SCHEMA_DDL,
     max_files_per_trigger: int = 4,
     payload: bool = True,
+    windowed: dict | None = None,
 ):
     """Start (availableNow) a file-source validation stream: every new
     parquet file under ``input_dir`` is validated and its verdict/violation
     rows appended under ``output_dir``. Returns the StreamingQuery; callers
     ``awaitTermination()``. Restarting with the same checkpoint resumes from
-    unprocessed files only."""
+    unprocessed files only.
+
+    ``windowed`` (optional) additionally emits event-time windowed pass
+    rates (streaming/windowed.py) under ``output_dir/windowed`` as a SECOND
+    streaming query over the same file source — keys: ``ts_col`` (an event
+    -time column that must exist in ``schema_ddl``; default "ts"),
+    ``watermark`` ("10 minutes"), ``window_len`` ("5 minutes"),
+    ``group_cols`` (list). When enabled the return value is
+    ``(verdict_query, windowed_query)``. The windowed aggregate runs in
+    UPDATE mode via foreachBatch (each micro-batch appends its updated
+    window rows tagged with batch_id; the reader takes the max-batch_id row
+    per window+group — append mode would hold open windows back until the
+    watermark closes them, which an availableNow run may never reach) and
+    covers METADATA row checks only: decoding the payload twice in a
+    parallel query would double the most expensive stage, so payload_*
+    checks and derived-metric references report through the per-batch
+    verdict path instead."""
     runner = SuiteRunner(suite)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -70,9 +87,51 @@ def stream_validate(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    return (
+    verdict_q = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )
+    if windowed is None:
+        return verdict_q
+
+    from doc_quality_check_spark.streaming.windowed import windowed_pass_rates
+
+    # metadata row checks only (see docstring): same skip rule as the
+    # runner's payload=False path — payload_* kinds AND generic checks on
+    # derived metric columns the un-decoded stream doesn't carry
+    from doc_quality_check_spark.suite.runner import DERIVED_METRIC_COLUMNS
+
+    meta_checks = [
+        c for c in suite.row_checks()
+        if not c.kind.startswith("payload_")
+        and not (c.column in DERIVED_METRIC_COLUMNS and c.column not in stream.columns)
+    ]
+    wdf = windowed_pass_rates(
+        stream,
+        meta_checks,
+        ts_col=windowed.get("ts_col", "ts"),
+        watermark=windowed.get("watermark", "10 minutes"),
+        window_len=windowed.get("window_len", "5 minutes"),
+        group_cols=windowed.get("group_cols"),
+    )
+    windowed_dir = os.path.join(output_dir, "windowed")
+
+    def write_windowed(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(windowed_dir)
+
+    windowed_q = (
+        wdf.writeStream.outputMode("update")
+        .foreachBatch(write_windowed)
+        .option(
+            "checkpointLocation", os.path.join(output_dir, "_checkpoint_windowed")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    return verdict_q, windowed_q
