@@ -3,15 +3,17 @@
 Audio is this engine's first-class modality (functions/audio.py, fully real).
 A training-data pipeline also carries image/video columns; this module
 provides the Spark-side plumbing — typed metadata schema, Arrow-batched
-``mapInPandas`` decode, batch-shape discipline — with the codec-specific
-decode step STUBBED (no image/video libraries exist in this environment):
+``mapInPandas`` decode, batch-shape discipline — plus one REAL image codec:
 
-- ``decode_image_stub`` raises NotImplementedError for real formats and
-  handles one deterministic fake format (``FAKEIMG``: magic + width + height
-  + raw grayscale bytes) so the plumbing is testable end-to-end.
-- Swap ``_decode_one`` with a real decoder (PIL/ffmpeg) in production; the
-  Spark plan (schema, partitioning, per-batch decode, bytes-column pruning)
-  does not change.
+- ``decode_png`` is a from-scratch stdlib PNG reader (zlib inflate + full
+  filter reconstruction, 8-bit gray/RGB/palette/alpha variants) — real
+  PNGs produce real width/height/ink metrics end-to-end.
+- ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
+  deterministic fixture format.
+- JPEG/video decode stays STUBBED behind NotImplementedError (no image/
+  video libraries exist in this environment); swap ``_decode_one`` /
+  the frame decoder for PIL/ffmpeg in production — the Spark plan (schema,
+  partitioning, per-batch decode, bytes-column pruning) does not change.
 
 Reference parity: payload decode + per-page metrics is exactly the shape of
 /root/reference/utils/document_processor.py:92-207 (extract_page_data) —
@@ -57,8 +59,128 @@ def encode_fake_image(seed: int, width: int, height: int) -> bytes:
     return FAKEIMG_MAGIC + struct.pack("<II", width, height) + pixels.tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# channels per pixel for the PNG color types we decode (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Minimal from-scratch PNG reader: bytes → (width, height, flattened
+    8-bit grayscale). Stdlib only (zlib inflate) + numpy for filter
+    reconstruction. Supports bit depth 8, color types 0/2/3/4/6 (gray, RGB,
+    palette, gray+alpha, RGBA), non-interlaced — the overwhelming bulk of
+    real-world PNGs; 16-bit, sub-byte depths, and Adam7 interlace raise
+    NotImplementedError (in-band error rows downstream). Color is collapsed
+    to BT.601 luma for the ink metric; alpha is ignored.
+
+    Filter reconstruction (PNG spec §9): None and Up are vectorized; Sub is
+    a per-byte-lane cumsum mod 256; Average/Paeth are sequential by
+    definition (left-neighbor dependency) and loop per byte — fine for a
+    metrics pass, swap in a C decoder for pixel-hungry production use."""
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(buf)
+    width = height = None
+    bit_depth = color_type = interlace = None
+    plte: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + clen  # len + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} not supported"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+
+    import zlib
+
+    raw = zlib.decompress(bytes(idat))
+    bpp = _PNG_CHANNELS[color_type]  # bytes/pixel at depth 8
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
+            np.int32
+        )
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: rec[i] = line[i] + rec[i-bpp] → lane-wise cumsum
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        img[y] = rec
+        prev = rec
+
+    px = img.reshape(height, width, bpp)
+    if color_type == 0:
+        gray = px[:, :, 0]
+    elif color_type == 4:
+        gray = px[:, :, 0]  # gray + alpha: alpha ignored
+    elif color_type == 3:
+        rgb = plte[px[:, :, 0]]
+        gray = _luma(rgb)
+    else:  # 2 (RGB) or 6 (RGBA)
+        gray = _luma(px[:, :, :3])
+    return int(width), int(height), gray.reshape(-1)
+
+
+def _luma(rgb: np.ndarray) -> np.ndarray:
+    """BT.601 luma, rounded to uint8."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    return np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(
+        np.uint8
+    )
+
+
 def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """bytes → (width, height, grayscale array). Real formats are stubbed."""
+    """bytes → (width, height, grayscale array). PNG is real; JPEG stubbed."""
     if buf is None or len(buf) == 0:
         return 0, 0, np.zeros(0, dtype=np.uint8)  # empty-input default row
     b = bytes(buf)
@@ -68,9 +190,11 @@ def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
         if px.size < w * h:
             raise ValueError("truncated FAKEIMG payload")
         return int(w), int(h), px
-    if b[:8] == b"\x89PNG\r\n\x1a\n" or b[:2] == b"\xff\xd8":
+    if b[:8] == PNG_MAGIC:
+        return decode_png(b)
+    if b[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decode requires an image library not present in this "
+            "JPEG decode requires an image library not present in this "
             "environment — plug a real decoder into _decode_one"
         )
     raise ValueError("unrecognized image container")

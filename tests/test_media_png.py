@@ -1,0 +1,163 @@
+"""Real PNG decode (VERDICT r2 #6): the stdlib reader in functions/media.py
+must reconstruct exact pixels for every PNG filter type and the 8-bit color
+types, end-to-end through the image_metrics mapInPandas path.
+
+The encoder below is test-only: it writes spec-valid PNGs (real CRCs, one
+IDAT) with a CHOSEN per-row filter so each reconstruction branch is
+exercised against known pixels.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from doc_quality_check_spark.functions.media import (
+    decode_png,
+    encode_fake_image,
+    image_metrics,
+)
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_row(raw, prev, bpp, ft):
+    """Apply PNG filter ft to one reconstructed row (int arrays)."""
+    out = np.empty_like(raw)
+    for i in range(raw.size):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return out
+
+
+def encode_png(pixels: np.ndarray, color_type: int, filters=None,
+               palette: np.ndarray | None = None) -> bytes:
+    """pixels: (h, w, channels) uint8 (or (h, w) index array for palette)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    assert ch == _CHANNELS[color_type]
+    filters = filters if filters is not None else [0] * h
+    raw = pixels.reshape(h, w * ch).astype(np.int32)
+    scan = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        scan.append(ft)
+        scan.extend(_filter_row(raw[y], prev, ch, ft).astype(np.uint8).tobytes())
+        prev = raw[y]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(scan)))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def test_decode_gray_all_filters():
+    px = _rng(0).integers(0, 256, size=(16, 13), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        buf = encode_png(px, color_type=0, filters=filters)
+        w, h, gray = decode_png(buf)
+        assert (w, h) == (13, 16)
+        np.testing.assert_array_equal(gray.reshape(16, 13), px)
+
+
+def test_decode_rgb_rgba_luma():
+    rgb = _rng(1).integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    w, h, gray = decode_png(encode_png(rgb, 2, filters=[4, 1, 3]))
+    lum = np.clip(np.rint(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                          + 0.114 * rgb[..., 2]), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(gray.reshape(9, 7), lum)
+    # RGBA: alpha ignored, same luma
+    rgba = np.concatenate([rgb, _rng(2).integers(0, 256, (9, 7, 1), np.uint8)],
+                          axis=2)
+    _, _, gray4 = decode_png(encode_png(rgba, 6, filters=[2, 4]))
+    np.testing.assert_array_equal(gray4, gray)
+
+
+def test_decode_palette_and_gray_alpha():
+    pal = _rng(3).integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = _rng(4).integers(0, 16, size=(6, 8), dtype=np.uint8)
+    w, h, gray = decode_png(encode_png(idx, 3, filters=[1, 0], palette=pal))
+    rgb = pal[idx]
+    lum = np.clip(np.rint(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                          + 0.114 * rgb[..., 2]), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(gray.reshape(6, 8), lum)
+    # gray+alpha: gray channel wins
+    g = _rng(5).integers(0, 256, size=(5, 5), dtype=np.uint8)
+    ga = np.stack([g, np.full((5, 5), 7, np.uint8)], axis=2)
+    _, _, out = decode_png(encode_png(ga, 4, filters=[3]))
+    np.testing.assert_array_equal(out.reshape(5, 5), g)
+
+
+def test_unsupported_and_corrupt_pngs():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png(px, 0)
+    # 16-bit depth → NotImplementedError
+    deep = bytearray(good)
+    ihdr_off = 8 + 8  # sig + len/type
+    deep[ihdr_off + 8] = 16
+    # recompute nothing — decoder ignores CRC
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(deep))
+    # interlaced → NotImplementedError
+    inter = bytearray(good)
+    inter[ihdr_off + 12] = 1
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(inter))
+    # truncated IDAT → ValueError/zlib error
+    with pytest.raises(Exception):
+        decode_png(good[:-20])
+
+
+def test_image_metrics_end_to_end_real_png(spark):
+    """Real PNGs through the Spark mapInPandas path: correct dims + the same
+    ink_ratio as a local computation; JPEG still stubs with an error row."""
+    px_a = _rng(6).integers(0, 256, size=(12, 10), dtype=np.uint8)
+    rgb_b = _rng(7).integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    rows = [
+        ("png_gray", bytearray(encode_png(px_a, 0, filters=[0, 1, 2, 3, 4]))),
+        ("png_rgb", bytearray(encode_png(rgb_b, 2, filters=[4]))),
+        ("fake", bytearray(encode_fake_image(1, 6, 4))),
+        ("jpeg", bytearray(b"\xff\xd8\xff\xe0rest")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {r["media_id"]: r for r in image_metrics(df).collect()}
+    assert got["png_gray"]["decode_ok"] and (
+        got["png_gray"]["width"], got["png_gray"]["height"]) == (10, 12)
+    exp_ink = float((px_a > px_a.mean()).mean())
+    assert abs(got["png_gray"]["ink_ratio"] - exp_ink) < 1e-9
+    assert got["png_rgb"]["decode_ok"] and (
+        got["png_rgb"]["width"], got["png_rgb"]["height"]) == (9, 8)
+    assert got["fake"]["decode_ok"]
+    assert not got["jpeg"]["decode_ok"] and "stub" in got["jpeg"]["error"]
