@@ -100,7 +100,8 @@ def test_image_metrics_plumbing(spark):
     rows = [
         ("img_ok", encode_fake_image(1, 16, 8)),
         ("img_trunc", encode_fake_image(2, 64, 64)[:100]),
-        ("img_png", b"\x89PNG\r\n\x1a\nrest"),
+        ("img_png_bad", b"\x89PNG\r\n\x1a\nrest"),  # garbage chunk body
+        ("img_jpeg", b"\xff\xd8\xff\xe0rest"),      # stubbed format
         ("img_empty", b""),
     ]
     df = spark.createDataFrame(rows, "media_id string, bytes binary")
@@ -108,7 +109,11 @@ def test_image_metrics_plumbing(spark):
     assert got["img_ok"]["decode_ok"] and got["img_ok"]["width"] == 16
     assert 0.0 <= got["img_ok"]["ink_ratio"] <= 1.0
     assert not got["img_trunc"]["decode_ok"] and "truncated" in got["img_trunc"]["error"]
-    assert not got["img_png"]["decode_ok"] and got["img_png"]["error"].startswith("stub:")
+    # PNG is decoded for real now (test_media_png.py): a corrupt body is an
+    # in-band decode error, not a stub
+    assert not got["img_png_bad"]["decode_ok"]
+    assert not got["img_png_bad"]["error"].startswith("stub:")
+    assert not got["img_jpeg"]["decode_ok"] and got["img_jpeg"]["error"].startswith("stub:")
     assert got["img_empty"]["decode_ok"] and got["img_empty"]["width"] == 0
 
 
