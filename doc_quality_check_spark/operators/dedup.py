@@ -365,6 +365,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Transitive dedup clustering: (id, component) where ``component`` is
     the smallest id reachable through the near-dup pair graph — the full
@@ -378,9 +379,20 @@ def connected_components(
     this converges in a handful of rounds — ``localCheckpoint`` cuts the
     growing lineage each round so plan size stays bounded. The driver loop
     only checks a scalar convergence count; all data movement is
-    distributed. For adversarial long-chain graphs, swap the propagation
-    body for large-star/small-star (O(log n) rounds, same join machinery).
+    distributed.
+
+    ``algorithm="star"`` switches to large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014): rounds grow with log(diameter) instead of diameter, so
+    adversarial long-chain graphs (a 10k-link chain needs 10k label
+    rounds but ~30 star rounds) converge where label propagation would
+    exhaust ``max_iter``. Same output contract: (id, comp = min id of the
+    component), ids restricted to nodes appearing in ``pairs``.
     """
+    if algorithm == "star":
+        return _connected_components_star(pairs, src, dst, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r} (label|star)")
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
     edges = edges.union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
@@ -418,9 +430,87 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds (component diameter exceeds the round budget); raise "
-            "max_iter or use a log-rounds star-contraction variant"
+            "max_iter or use algorithm='star' (log-rounds star contraction)"
         )
     return labels.select("id", "comp")
+
+
+def _connected_components_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014).
+
+    Each round rewrites the edge set with two rules until it stops changing:
+
+    - large-star: for every node u, each strictly LARGER neighbor v is
+      re-attached to m = min(N(u) ∪ {u}) — emit (v, m);
+    - small-star: edges now point large→small; every node u attaches itself
+      and all its (smaller) neighbors to m = min(N(u) ∪ {u}).
+
+    Both rules are one groupBy (per-node min) + one equi-join — the same
+    shuffle machinery as label propagation, but the edge set contracts
+    toward stars centered on component minima in O(log n) rounds instead of
+    O(diameter). At convergence every non-center node carries exactly one
+    edge to its component's minimum id. ``localCheckpoint`` bounds lineage
+    per round, as in the label variant. Raises on non-convergence rather
+    than returning mid-contraction edges as components."""
+    # canonical directed edges (a > b), deduped; comparisons use the ids'
+    # natural ordering, matching the label variant's min() semantics
+    e0 = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e0.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("a").alias("id"))
+        .unionByName(e0.select(F.col("b").alias("id")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # ---- large-star: neighborhoods need both directions
+        bidir = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = bidir.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select(
+            "a", F.least(F.col("a"), F.col("mn")).alias("m")
+        )
+        large = (
+            bidir.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .dropDuplicates()
+        )
+        # ---- small-star: edges oriented a > b, so per-node min is min("b")
+        sm = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(sm, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(sm.select(F.col("a"), F.col("m").alias("b")))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(edges).unionByName(edges.exceptAll(small)).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge within max_iter={max_iter} "
+            "rounds — raise max_iter"
+        )
+    lab = edges.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("comp"))
+    return nodes.join(lab, "id", "left").select(
+        "id", F.coalesce(F.col("comp"), F.col("id")).alias("comp")
+    )
 
 
 def contamination_flags(

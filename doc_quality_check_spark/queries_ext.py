@@ -457,6 +457,20 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_dedup_clusters_star(spark, sf):
+    """Same clustering as dedup_clusters but via large-star/small-star
+    contraction (algorithm='star', O(log n) rounds — the long-chain-safe
+    variant). Shares the recursive-CTE oracle: both algorithms must produce
+    the identical (doc_id, component) table."""
+    from doc_quality_check_spark.operators.dedup import connected_components
+
+    d = t(spark, sf, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return connected_components(pairs, algorithm="star").select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
 def _dedup_clusters_sql() -> str:
     # transitive closure via recursive CTE (fixture pair graph is tiny);
     # component = min reachable id, matching the Spark label propagation
@@ -1455,6 +1469,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "hash_split": q_hash_split,
     "cluster_safe_split": q_cluster_safe_split,
     "contamination": q_contamination,
@@ -1499,6 +1514,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": _dedup_clusters_sql(),
+    "dedup_clusters_star": _dedup_clusters_sql(),
     "hash_split": SQL_HASH_SPLIT,
     "cluster_safe_split": _cluster_split_sql(),
     "contamination": _contamination_sql(),

@@ -178,3 +178,37 @@ def test_cluster_safe_split_string_ids(spark):
     plain = {r["doc_id"]: r["split"] for r in
              hash_split(df, "doc_id", splits).collect()}
     assert out["doc-500"] == plain["doc-500"]
+
+
+def test_star_contraction_beats_label_on_long_chain(spark):
+    """VERDICT r2 #8: a planted 10k-link chain has diameter 10k — min-label
+    propagation exhausts its round budget, large-star/small-star contracts
+    in O(log n) rounds with the same (id, comp) contract."""
+    import pytest as _pytest
+
+    from doc_quality_check_spark.operators.dedup import connected_components
+
+    n = 10_000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).coalesce(4)
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=8).collect()
+
+    comp = connected_components(chain, max_iter=40, algorithm="star")
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["comp"] == 0 for r in rows)
+
+    # same contract on a multi-component graph (+ string ids)
+    pairs = spark.createDataFrame(
+        [("d", "b"), ("b", "a"), ("x", "y"), ("z", "z")],
+        "id_a string, id_b string")
+    got = {r["id"]: r["comp"]
+           for r in connected_components(pairs, algorithm="star").collect()}
+    assert got == {"a": "a", "b": "a", "d": "a", "x": "x", "y": "x", "z": "z"}
+    # matches the label variant on the same graph
+    lbl = {r["id"]: r["comp"]
+           for r in connected_components(pairs).collect()}
+    assert got == lbl
