@@ -84,21 +84,37 @@ def main() -> None:
     # best-of-2 for the headline: this VM's wall time swings ±30% hour to
     # hour (BENCH_SCALING.json history); a single sample under-reports the
     # engine. First run also pays Python-worker fork cost.
+    suite_reps = []
     suite_sec, n_clips = run_suite(spark, clips_dir)
+    suite_reps.append(round(suite_sec, 3))
     suite_sec2, _ = run_suite(spark, clips_dir)
+    suite_reps.append(round(suite_sec2, 3))
     suite_sec = min(suite_sec, suite_sec2)
     clips_per_sec = n_clips / suite_sec
 
-    qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: see suite comment on VM variance
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        qtimes[name] = round(best, 3)
+    # r2 post-mortem: the relational block recorded phantom 3-7x regressions
+    # when timed immediately after the decode-heavy suite stage (GC /
+    # executor-thread churn bleeding into the first timed rep, compounded by
+    # VM drift). De-noising, per the BENCH_SCALING protocol:
+    #   1. one UNTIMED warm-up pass of every query (plans compiled, shuffles
+    #      materialized once, suite aftershocks absorbed);
+    #   2. reps INTERLEAVED A/B-style across queries (rep 1 of all queries,
+    #      then rep 2) so a transient slow minute cannot hit every rep of
+    #      one query;
+    #   3. per-rep lists recorded alongside the best.
+    def _run_one(name):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for name in BENCH_QUERIES:  # warm-up pass, untimed
+        _run_one(name)
+    n_reps = 2
+    qreps: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(n_reps):
+        for name in BENCH_QUERIES:
+            qreps[name].append(round(_run_one(name), 3))
+    qtimes = {name: min(reps) for name, reps in qreps.items()}
 
     total = suite_sec + sum(qtimes.values())
     out = {
@@ -106,6 +122,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {"constraint_suite": round(suite_sec, 3), **qtimes},
+        "query_reps": {"constraint_suite": suite_reps, **qreps},
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "clips_per_sec": round(clips_per_sec, 1),
         "n_clips": n_clips,
