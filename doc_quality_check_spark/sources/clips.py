@@ -21,6 +21,7 @@ Anomaly buckets (i % 200 → exactly one anomaly per row, disjoint by design):
   11+12 pairwise duplicate clip_ids within each 200-block
   13 long clip        → category 'long'
   14-16 keyworded transcript (catalog keyword hits, MRZ-style '<<<<<' runs)
+  17 multi-line Key/Value transcript (F16 extraction on natural fixture data)
   else valid
 
 Codec distribution is heavily skewed (>=90% pcm_s16le) per FIXTURES.md to
@@ -59,6 +60,17 @@ VALID_SR = [8000, 16000, 22050, 44100, 48000]
 
 
 def _transcript(rng: np.random.Generator, bucket: int) -> str:
+    if bucket == 17:
+        # natural multi-line Key/Value transcript (session-log style): both
+        # separator forms, a duplicate key for the last-wins rule — the F16
+        # extraction path runs on fixture data, no synthesized columns
+        # (VERDICT r2 #9)
+        n = int(rng.integers(0, 100))
+        lang = str(rng.choice(["en", "de", "fr"]))
+        return (
+            f"Name: speaker {n}\nLang - {lang}\nSession: {n}\n"
+            f"Lang - {lang.upper()}"
+        )
     words = list(rng.choice(VOCAB, size=int(rng.integers(6, 18))))
     if bucket in (14, 15, 16):
         cat = "identity" if bucket != 15 else "broadcast"
@@ -76,7 +88,7 @@ def generate_clips(out_dir: str, n_rows: int = 4000, seed: int = 42) -> str:
     marker file keyed on n_rows/seed)."""
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_GENERATED.json")
-    key = {"n_rows": n_rows, "seed": seed, "v": 7}
+    key = {"n_rows": n_rows, "seed": seed, "v": 8}
     if os.path.exists(marker):
         with open(marker) as fh:
             if json.load(fh) == key:

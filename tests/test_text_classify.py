@@ -277,3 +277,26 @@ def test_pii_flags_and_scrub(spark):
     assert out[1]["s"] == "write to [EMAIL] or call [PHONE]"
     assert out[2]["s"] == "server at [IP] and [IP] responded"
     assert out[3]["s"] == rows[2][1]
+
+
+def test_kv_extraction_on_natural_fixture_transcripts(spark, clips_dir):
+    """F16 over the fixture's bucket-17 session-log transcripts (natural
+    multi-line Key/Value data, VERDICT r2 #9): both separator forms parse,
+    the duplicate 'Lang' key resolves last-wins to the uppercase value, and
+    no line_N fallback fires."""
+    from doc_quality_check_spark.functions.text import extract_kv_map
+    from doc_quality_check_spark.sources.clips import load_clips
+
+    clips = load_clips(spark, clips_dir).drop("bytes")
+    kv_rows = clips.filter(F.col("transcript").startswith("Name: speaker "))
+    rows = kv_rows.select(
+        "clip_id", "transcript", extract_kv_map("transcript").alias("m")
+    ).collect()
+    assert len(rows) == 2400 // 200  # one bucket-17 row per 200-block
+    for r in rows:
+        m = r["m"]
+        assert set(m) == {"Name", "Lang", "Session"}  # no line_N fallback
+        n = r["transcript"].splitlines()[0].split()[-1]
+        assert m["Name"] == f"speaker {n}"
+        assert m["Session"] == n
+        assert m["Lang"] in ("EN", "DE", "FR")  # last-wins → uppercase line
