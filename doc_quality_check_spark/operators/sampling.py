@@ -59,6 +59,50 @@ def hash_split(df: DataFrame, id_col: str, splits: dict[str, float],
     return df.withColumn("split", expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group sampling (corpus balancing: keep 100% of a
+    rare language, 5% of the dominant one). A row is kept iff its hash point
+    falls below its group's fraction — pure projection + filter, no shuffle,
+    stable across runs/partitionings like :func:`hash_sample`. Groups not in
+    ``fractions`` get ``default_fraction``."""
+    u = hash_unit(F.col(id_col), salt)
+    thr: Column = F.lit(float(default_fraction))
+    for g, frac in fractions.items():
+        thr = F.when(F.col(group_col) == F.lit(g), F.lit(float(frac))).otherwise(thr)
+    return df.filter(u < thr)
+
+
+def group_capped_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``cap`` rows per group,
+    chosen by hash order (not arrival order), so the selection is
+    reproducible across runs and engines. One window shuffle on the group
+    key; at 10^12 rows pre-filter with :func:`stratified_hash_sample` at
+    ~cap/|group| fractions first so the window only ranks survivors."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_unit(F.col(id_col), salt).asc(), F.col(id_col).cast("string").asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
                        splits: dict[str, float], salt: str = "split",
                        max_iter: int = 25) -> DataFrame:

@@ -622,6 +622,23 @@ def _hash_unit_sql(key_expr: str, salt: str) -> str:
     )
 
 
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_hash_unit_sql('doc_id', 'strat')} <
+      CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'de' THEN 1.0 ELSE 0.1 END
+"""
+
+SQL_GROUP_CAPPED_SAMPLE = f"""
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_hash_unit_sql('doc_id', 'cap')} ASC,
+                                         CAST(doc_id AS VARCHAR) ASC) AS rn
+      FROM documents) x
+WHERE rn <= 20
+"""
+
+
 SQL_HASH_SPLIT = f"""
 SELECT doc_id,
        CASE WHEN {_hash_unit_sql('doc_id', 'split')} < 0.8 THEN 'train'
@@ -629,6 +646,29 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents
 """
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-group sampling for corpus balancing: keep all of a
+    rare language, a slice of the dominant one — membership is a pure
+    function of md5(id), reproduced bit-for-bit by the oracle
+    (operators/sampling.py stratified_hash_sample; no shuffle)."""
+    from doc_quality_check_spark.operators.sampling import stratified_hash_sample
+
+    d = t(spark, sf, "documents")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.3, "de": 1.0}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+def q_group_capped_sample(spark, sf):
+    """Deterministic per-group cap (at most N rows per language, chosen by
+    hash order, not arrival order): one window shuffle on the group key
+    (operators/sampling.py group_capped_sample)."""
+    from doc_quality_check_spark.operators.sampling import group_capped_sample
+
+    d = t(spark, sf, "documents")
+    return group_capped_sample(d, "doc_id", "lang", cap=20).select("doc_id", "lang")
 
 
 def q_cluster_safe_split(spark, sf):
@@ -1471,6 +1511,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
+    "group_capped_sample": q_group_capped_sample,
     "cluster_safe_split": q_cluster_safe_split,
     "contamination": q_contamination,
     "repetition": q_repetition,
@@ -1516,6 +1558,8 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "hash_split": SQL_HASH_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "group_capped_sample": SQL_GROUP_CAPPED_SAMPLE,
     "cluster_safe_split": _cluster_split_sql(),
     "contamination": _contamination_sql(),
     "repetition": SQL_REPETITION,

@@ -212,3 +212,38 @@ def test_star_contraction_beats_label_on_long_chain(spark):
     lbl = {r["id"]: r["comp"]
            for r in connected_components(pairs).collect()}
     assert got == lbl
+
+
+def test_stratified_and_capped_sampling(spark):
+    """Per-group deterministic sampling: fractions hold per group, repeat
+    runs and repartitioning select the same rows, caps bound each group by
+    hash order."""
+    from collections import Counter
+
+    from doc_quality_check_spark.operators.sampling import (
+        group_capped_sample, stratified_hash_sample,
+    )
+
+    rows = [(i, "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    s1 = {(r["doc_id"]) for r in stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.2, "de": 1.0}, 0.05).collect()}
+    s2 = {(r["doc_id"]) for r in stratified_hash_sample(
+        df.repartition(7), "doc_id", "lang", {"en": 0.2, "de": 1.0}, 0.05).collect()}
+    assert s1 == s2
+    by_lang = Counter("en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr")
+                      for i in s1)
+    assert 0.15 < by_lang["en"] / 2100 < 0.25     # ~20% of dominant group
+    assert by_lang["de"] == 600                    # all of the rare group
+    assert by_lang["fr"] / 300 < 0.12              # default fraction
+
+    capped = group_capped_sample(df, "doc_id", "lang", cap=50)
+    got = Counter(r["lang"] for r in capped.collect())
+    assert got == {"en": 50, "de": 50, "fr": 50}
+    # deterministic selection regardless of partitioning
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in
+         group_capped_sample(df.repartition(11), "doc_id", "lang", 50).collect()}
+    assert a == b

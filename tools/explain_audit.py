@@ -101,6 +101,22 @@ def main() -> None:
         # (= consumes) the MapInPandas pre-cut
     )
 
+    # 8. seeded sign-LSH: bucket equi-join broadcasts the query side, no
+    # cartesian anywhere, and the 8 projection dot products stay inside
+    # codegen (no Python in the bucket computation)
+    p = plan_of(QUERIES["ann_sign_lsh"](spark, SF))
+    audit("ann_sign_lsh broadcast bucket join",
+          "BroadcastHashJoin" in p and "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    audit("ann_sign_lsh buckets JVM-side",
+          "EvalPython" not in p.split("MapInPandas")[0])
+
+    # 9. group_capped_sample: exactly ONE exchange (the group-key window) —
+    # the hash ordering must not add extra shuffles
+    p = plan_of(QUERIES["group_capped_sample"](spark, SF))
+    audit("group_capped_sample single shuffle", p.count("Exchange hashpartitioning") == 1,
+          f"exchanges={p.count('Exchange hashpartitioning')}")
+
     print("FAILURES:" if failures else "all plan audits pass", failures or "")
     spark.stop()
     sys.exit(1 if failures else 0)
