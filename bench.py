@@ -24,7 +24,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "20000"))
 
 BENCH_QUERIES = [
-    "group_stats", "percentiles", "threshold_sweep", "duplicate_keys",
+    "group_stats", "percentiles_sketch", "threshold_sweep", "duplicate_keys",
     "semi_join", "freq_enrich", "argmax_per_group", "topn_per_group",
     "lag_neighbor", "drift_psi",
     # training-pipeline operators (documents/embeddings tables)

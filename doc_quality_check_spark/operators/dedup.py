@@ -513,6 +513,44 @@ def _connected_components_star(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_iter: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Cluster retention policy: keep exactly ONE row per near-duplicate
+    cluster — the highest-``score_col`` member (ties → smallest id), the
+    standard 'keep the best copy' rule of training-data dedup (vs
+    :func:`dedup_keep_first`'s keep-smallest-id). Singletons (rows absent
+    from ``pairs``) are their own cluster and always survive.
+
+    Adds a ``cluster`` column (the component's min id). One component join +
+    one per-cluster window; clusters are tiny so the window shuffle is
+    bounded by the pair graph, not the corpus."""
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        pairs, max_iter=max_iter, algorithm=algorithm
+    ).withColumnRenamed("id", "__kb_id")
+    joined = df.join(
+        F.broadcast(comp), df[id_col] == F.col("__kb_id"), "left"
+    ).drop("__kb_id")
+    out = joined.withColumn(
+        "cluster", F.coalesce(F.col("comp"), F.col(id_col))
+    ).drop("comp")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def contamination_flags(
     corpus: DataFrame,
     eval_df: DataFrame,

@@ -471,6 +471,49 @@ def q_dedup_clusters_star(spark, sf):
     )
 
 
+def q_dedup_keep_best(spark, sf):
+    """Cluster retention: one survivor per near-dup cluster, the longest
+    text winning (ties → smallest doc_id); singletons survive as their own
+    cluster (operators/dedup.py dedup_keep_best)."""
+    from doc_quality_check_spark.operators.dedup import dedup_keep_best
+
+    d = t(spark, sf, "documents").withColumn(
+        "score", F.coalesce(F.length("text").cast("long"), F.lit(0))
+    )
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6)
+    return dedup_keep_best(d, pairs, "doc_id", "score").select(
+        "doc_id", "cluster", "score"
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_JACCARD_CTE},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, t AS r FROM edges
+  UNION
+  SELECT reach.id, e.t FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (SELECT id AS doc_id, least(id, min(r)) AS component
+         FROM reach GROUP BY id),
+scored AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+         CAST(coalesce(length(d.text), 0) AS BIGINT) AS score
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster, score
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored) x
+WHERE rn = 1
+"""
+
+
 def _dedup_clusters_sql() -> str:
     # transitive closure via recursive CTE (fixture pair graph is tiny);
     # component = min reachable id, matching the Spark label propagation
@@ -1510,6 +1553,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "dedup_keep_best": q_dedup_keep_best,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "group_capped_sample": q_group_capped_sample,
@@ -1557,6 +1601,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
+    "dedup_keep_best": _dedup_keep_best_sql(),
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "group_capped_sample": SQL_GROUP_CAPPED_SAMPLE,

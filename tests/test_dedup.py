@@ -247,3 +247,26 @@ def test_stratified_and_capped_sampling(spark):
     b = {r["doc_id"] for r in
          group_capped_sample(df.repartition(11), "doc_id", "lang", 50).collect()}
     assert a == b
+
+
+def test_dedup_keep_best_retention(spark):
+    """Keep-best retention: one survivor per cluster (highest score, ties →
+    smallest id), singletons always survive, cluster column = component min."""
+    from doc_quality_check_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in
+            dedup_keep_best(df, pairs, "doc_id", "score").collect()}
+    # cluster {1,2,3,4}: scores 10/30/30/5 → tie between 2 and 3 → id 2 wins
+    assert set(rows) == {2, 9}
+    assert rows[2]["cluster"] == 1    # component min, not the survivor id
+    assert rows[9]["cluster"] == 9    # singleton is its own cluster
+    # star algorithm gives the identical survivors
+    star = {r["doc_id"] for r in
+            dedup_keep_best(df, pairs, "doc_id", "score",
+                            algorithm="star").collect()}
+    assert star == {2, 9}
