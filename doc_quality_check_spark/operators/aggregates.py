@@ -276,3 +276,49 @@ def tdigest_quantiles(
         target = p * total
         out[p] = float(np.interp(target, cum, m))
     return out
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    token distribution → (id, n_tokens, mean_logprob) — the classic cheap
+    statistical-quality signal for training-data curation (very negative =
+    rare-token gibberish; near the corpus mode = boilerplate). The same
+    two-pass shape as J2 frequency enrichment (SURVEY.md §3.3): one token
+    groupBy builds the vocabulary, a scalar total broadcasts back, and an
+    equi-join on the token re-scores every occurrence.
+
+    Scale: the vocab table is Zipf-small relative to the corpus but can
+    exceed broadcast limits at web scale — the join is left as a plain
+    equi-join so AQE picks broadcast vs shuffle by size. Per-token log
+    values are rounded to 6dp and summed in fixed-point decimal, so
+    partial-aggregation order cannot flip the driver hash (the established
+    float-sum parity rule). Docs with no tokens are absent from the output
+    (no tokens → no distribution support)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("n_total")), 6).alias("logp"),
+    )
+    scored = tokens.join(lp, "tok")
+    # the decimal SUM is exact (order-insensitive); cast it to double BEFORE
+    # dividing — Spark's decimal/long division re-rounds at an intermediate
+    # scale that DuckDB's decimal/bigint (which yields a double) does not,
+    # and that intermediate rounding flipped a 4dp boundary on the fixture
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            round_dp,
+        ).alias("mean_logprob"),
+    )

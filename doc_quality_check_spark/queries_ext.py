@@ -471,6 +471,36 @@ def q_dedup_clusters_star(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """Mean unigram log-probability per document under the corpus's own
+    token distribution (operators/aggregates.py unigram_logprob_scores) —
+    the J2 frequency-enrich physical shape applied to statistical quality
+    scoring."""
+    from doc_quality_check_spark.operators.aggregates import (
+        unigram_logprob_scores,
+    )
+
+    d = t(spark, sf, "documents")
+    return unigram_logprob_scores(d, "doc_id", "text")
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks2 GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+lp AS (SELECT tok, round(ln(cnt * 1.0 / n_total), 6) AS logp FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(sum(CAST(logp AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4)
+         AS mean_logprob
+FROM toks2 JOIN lp USING (tok)
+GROUP BY doc_id
+"""
+
+
 def q_dedup_keep_best(spark, sf):
     """Cluster retention: one survivor per near-dup cluster, the longest
     text winning (ties → smallest doc_id); singletons survive as their own
@@ -1554,6 +1584,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_keep_best": q_dedup_keep_best,
+    "unigram_logprob": q_unigram_logprob,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "group_capped_sample": q_group_capped_sample,
@@ -1602,6 +1633,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "group_capped_sample": SQL_GROUP_CAPPED_SAMPLE,

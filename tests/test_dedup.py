@@ -270,3 +270,23 @@ def test_dedup_keep_best_retention(spark):
             dedup_keep_best(df, pairs, "doc_id", "score",
                             algorithm="star").collect()}
     assert star == {2, 9}
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Statistical-quality score: docs made of rare tokens score strictly
+    lower (more negative) than docs of corpus-dominant tokens; token counts
+    are exact."""
+    from doc_quality_check_spark.operators.aggregates import (
+        unigram_logprob_scores,
+    )
+
+    rows = [(i, "the quick fox " * 5) for i in range(20)]
+    rows.append((100, "zyzzyva qwerty"))          # rare tokens
+    rows.append((101, None))                      # no tokens → absent
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert 101 not in got
+    assert got[100]["n_tokens"] == 2
+    assert got[0]["n_tokens"] == 15
+    assert got[100]["mean_logprob"] < got[0]["mean_logprob"] < 0
