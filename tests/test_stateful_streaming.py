@@ -196,3 +196,48 @@ def test_windowed_pass_rates_group_cols(spark):
                                group_cols=["codec"]).collect()}
     assert out[("2026-01-01 12:00:00", "flac")]["n_invalid"] == 1
     assert out[("2026-01-01 12:00:00", "pcm_s16le")]["pass_rate"] == 1.0
+
+
+def test_stream_dedupe_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: repeats of a clip_id arriving within the
+    watermark are dropped across micro-batches; batch mode degrades to
+    dropDuplicates."""
+    from doc_quality_check_spark.streaming.dedupe import stream_dedupe
+
+    base = str(tmp_path)
+    inp = base + "/in"
+    os.makedirs(inp)
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # file 1: c0..c9; file 2: c5..c9 re-delivered 1 min later + c10..c12 new
+    first = [(f"c{i}", t0 + datetime.timedelta(seconds=i)) for i in range(10)]
+    second = [(f"c{i}", t0 + datetime.timedelta(minutes=1, seconds=i))
+              for i in range(5, 13)]
+    schema = "clip_id string, ts timestamp"
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(base + "/a")
+    spark.createDataFrame(second, schema).coalesce(1).write.parquet(base + "/b")
+    for i, f in enumerate(sorted(glob.glob(base + "/[ab]/part-*.parquet"))):
+        shutil.copy(f, f"{inp}/clips_{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    deduped = stream_dedupe(stream, ["clip_id"], ts_col="ts",
+                            watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", base + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [r["clip_id"] for r in spark.table("dedup_stream").collect()]
+    assert sorted(got) == sorted(f"c{i}" for i in range(13))  # no repeats
+
+    # batch path: same call, plain dropDuplicates
+    bdf = spark.createDataFrame(first + second, schema)
+    out = stream_dedupe(bdf, ["clip_id"])
+    assert out.count() == 13
