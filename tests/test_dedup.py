@@ -290,3 +290,29 @@ def test_unigram_logprob_orders_rarity(spark):
     assert got[100]["n_tokens"] == 2
     assert got[0]["n_tokens"] == 15
     assert got[100]["mean_logprob"] < got[0]["mean_logprob"] < 0
+
+
+def test_curation_pipeline_example(spark):
+    """examples/curation_pipeline.py composes the curation operators
+    end-to-end: monotone funnel, eval-contaminated docs gone, near-dup
+    clusters reduced to one survivor, every survivor split-assigned."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from curation_pipeline import curate
+
+    base = [(i, f"alpha beta gamma delta epsilon doc {i} " * 3) for i in range(40)]
+    base += [(100, base[0][1] + " tail"),            # near-dup of doc 0
+             (200, "contaminated shared eval ngram payload text here")]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(9000, "contaminated shared eval ngram payload text here")],
+        "doc_id long, text string")
+    out, funnel = curate(spark, docs, eval_docs, min_logprob=-99.0)
+    rows = out.collect()
+    vals = list(funnel.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))   # monotone funnel
+    ids = {r["doc_id"] for r in rows}
+    assert 200 not in ids                                # decontaminated
+    assert not {0, 100} <= ids                           # one survivor per cluster
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
