@@ -133,6 +133,25 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dedup_exact_keep_first(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Drop exact duplicates, keeping the min-id row per identical-text
+    group — the retention twin of :func:`exact_duplicates` (same md5 key).
+    Rows with NULL text are ALL kept: no content means nothing to compare,
+    and an md5(NULL) group would silently collapse every null-text row into
+    one survivor. One window shuffle on the 32-char hash; the text itself
+    never shuffles as a key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col(text_col).isNull() | (F.col("__rn") == 1))
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via inverted-index join
 # ---------------------------------------------------------------------------
@@ -532,15 +551,19 @@ def dedup_keep_best(
     bounded by the pair graph, not the corpus."""
     from pyspark.sql import Window
 
-    comp = connected_components(
-        pairs, max_iter=max_iter, algorithm=algorithm
-    ).withColumnRenamed("id", "__kb_id")
+    comp = (
+        connected_components(pairs, max_iter=max_iter, algorithm=algorithm)
+        .withColumnRenamed("id", "__kb_id")
+        .withColumnRenamed("comp", "__kb_comp")  # reserved names: the input
+        # df may legitimately carry its own 'comp' column (same defense as
+        # cluster_safe_split's __cc_* renames)
+    )
     joined = df.join(
         F.broadcast(comp), df[id_col] == F.col("__kb_id"), "left"
     ).drop("__kb_id")
     out = joined.withColumn(
-        "cluster", F.coalesce(F.col("comp"), F.col(id_col))
-    ).drop("comp")
+        "cluster", F.coalesce(F.col("__kb_comp"), F.col(id_col))
+    ).drop("__kb_comp")
     w = Window.partitionBy("cluster").orderBy(
         F.desc(score_col), F.asc(id_col)
     )

@@ -90,11 +90,17 @@ def group_capped_sample(
     chosen by hash order (not arrival order), so the selection is
     reproducible across runs and engines. One window shuffle on the group
     key; at 10^12 rows pre-filter with :func:`stratified_hash_sample` at
-    ~cap/|group| fractions first so the window only ranks survivors."""
+    ~cap/|group| fractions first so the window only ranks survivors.
+
+    NULL ids sort LAST (matching DuckDB's ASC default, so the oracle
+    agrees) and are only selected after every keyed row; among multiple
+    NULL-id rows the choice is arbitrary — as with any keyed operator, a
+    NULL key carries no identity to select by."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
-        hash_unit(F.col(id_col), salt).asc(), F.col(id_col).cast("string").asc()
+        hash_unit(F.col(id_col), salt).asc_nulls_last(),
+        F.col(id_col).cast("string").asc_nulls_last(),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -99,15 +99,29 @@ def stream_validate(
     from doc_quality_check_spark.streaming.windowed import windowed_pass_rates
 
     # metadata row checks only (see docstring): same skip rule as the
-    # runner's payload=False path — payload_* kinds AND generic checks on
-    # derived metric columns the un-decoded stream doesn't carry
+    # runner's payload=False path — payload_* kinds AND generic checks
+    # referencing derived metric columns the un-decoded stream doesn't
+    # carry (including expr-kind checks, scanned textually like the
+    # runner's _references_metric)
+    import re as _re
+
     from doc_quality_check_spark.suite.runner import DERIVED_METRIC_COLUMNS
 
-    meta_checks = [
-        c for c in suite.row_checks()
-        if not c.kind.startswith("payload_")
-        and not (c.column in DERIVED_METRIC_COLUMNS and c.column not in stream.columns)
-    ]
+    missing_metric = {
+        c for c in DERIVED_METRIC_COLUMNS if c not in stream.columns
+    }
+
+    def _needs_decode(c) -> bool:
+        if c.kind.startswith("payload_"):
+            return True
+        if c.column in missing_metric:
+            return True
+        if c.kind == "expr":
+            expr = str(c.params.get("expr", ""))
+            return any(_re.search(rf"\b{m}\b", expr) for m in missing_metric)
+        return False
+
+    meta_checks = [c for c in suite.row_checks() if not _needs_decode(c)]
     wdf = windowed_pass_rates(
         stream,
         meta_checks,
@@ -119,8 +133,9 @@ def stream_validate(
     windowed_dir = os.path.join(output_dir, "windowed")
 
     def write_windowed(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() guard: the batch is an uncached stateful-aggregation
+        # result, so probing emptiness would execute the aggregation twice
+        # per micro-batch; an empty append writes only metadata
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(windowed_dir)

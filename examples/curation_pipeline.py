@@ -52,59 +52,75 @@ def curate(
     )
     from doc_quality_check_spark.operators.dedup import (
         contamination_flags,
+        dedup_exact_keep_first,
         dedup_keep_best,
         jaccard_pairs,
     )
     from doc_quality_check_spark.operators.sampling import cluster_safe_split
 
     funnel: dict[str, int] = {"input": docs.count()}
+    cached: list[DataFrame] = []
 
-    # 1. exact dedup (first occurrence per md5 of text wins, deterministic)
-    from pyspark.sql import Window
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        # persist each stage boundary: the funnel count AND the next stage
+        # both consume it, and without the cache every count would re-run
+        # the whole upstream pipeline (the expensive joins O(stages²) times)
+        df = df.persist()
+        funnel[name] = df.count()
+        cached.append(df)
+        return df
 
-    w = Window.partitionBy(F.md5(F.coalesce("text", F.lit("")))).orderBy("doc_id")
-    docs = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    funnel["exact_dedup"] = docs.count()
+    # 1. exact dedup — the driver-verified operator (min-id survivor per
+    # identical text; NULL-text rows all kept)
+    docs = stage("exact_dedup", dedup_exact_keep_first(docs, "doc_id", "text"))
 
     # 2. near-dup keep-best: longest text survives its cluster
     pairs = jaccard_pairs(docs, "doc_id", "text", n=3,
-                          threshold=jaccard_threshold)
+                          threshold=jaccard_threshold).persist()
+    cached.append(pairs)
     scored = docs.withColumn(
         "score", F.coalesce(F.length("text").cast("long"), F.lit(0))
     )
-    docs = dedup_keep_best(scored, pairs, "doc_id", "score").drop("score")
-    funnel["neardup_keep_best"] = docs.count()
+    docs = stage(
+        "neardup_keep_best",
+        dedup_keep_best(scored, pairs, "doc_id", "score").drop("score"),
+    )
 
     # 3. decontamination vs the eval set
     contaminated = contamination_flags(docs, eval_docs, "doc_id", "text")
-    docs = docs.join(contaminated.select("doc_id"), "doc_id", "left_anti")
-    funnel["decontaminated"] = docs.count()
+    docs = stage(
+        "decontaminated",
+        docs.join(contaminated.select("doc_id"), "doc_id", "left_anti"),
+    )
 
     # 4. PII scrub (pure Catalyst regexp chain, no row loss)
-    docs = docs.withColumn("text", scrub_pii("text"))
-    funnel["pii_scrubbed"] = docs.count()
+    docs = stage("pii_scrubbed", docs.withColumn("text", scrub_pii("text")))
 
     # 5. quality: repetition cap + unigram log-probability floor
-    docs = docs.filter(repetition_ratio("text", 3) <= max_repetition)
-    lp = unigram_logprob_scores(docs, "doc_id", "text")
-    docs = docs.join(
-        lp.filter(F.col("mean_logprob") >= min_logprob).select("doc_id"),
-        "doc_id",
+    kept = docs.filter(repetition_ratio("text", 3) <= max_repetition)
+    lp = unigram_logprob_scores(kept, "doc_id", "text")
+    docs = stage(
+        "quality_filtered",
+        kept.join(
+            lp.filter(F.col("mean_logprob") >= min_logprob).select("doc_id"),
+            "doc_id",
+        ),
     )
-    funnel["quality_filtered"] = docs.count()
 
     # 6. leakage-safe deterministic splits over the ORIGINAL pair graph:
     # clusters were reduced to one survivor, but the survivor still hashes
     # by its component representative, keeping assignment stable even if
     # the retention policy changes between runs
-    docs = cluster_safe_split(
-        docs, "doc_id", pairs, {"train": 0.9, "val": 0.05, "test": 0.05}
+    docs = stage(
+        "split",
+        cluster_safe_split(
+            docs, "doc_id", pairs, {"train": 0.9, "val": 0.05, "test": 0.05}
+        ),
     )
-    funnel["split"] = docs.count()
+    # earlier stage caches are no longer needed; the final stage stays
+    # persisted for the caller's write/collect
+    for df in cached[:-1]:
+        df.unpersist()
     return docs, funnel
 
 
