@@ -1,0 +1,126 @@
+"""Constraint suggestion: profile a table once, emit a CheckSuite that the
+profiled data passes — the machine-written analog of the reference's
+hand-authored config.json (the declarative suite, config_loader.py), and
+the standard bootstrap move of data-validation engines (cf. Deequ's
+constraint suggestion): run the suggested suite against FUTURE data to
+catch drift from today's invariants.
+
+One profiling pass computes, for every column, in a SINGLE fused
+aggregation job (the suite planner's fuse-same-granularity rule):
+completeness, approx distinct count, min/max, and p0.5/p99.5 quantiles for
+numerics. Low-cardinality string columns additionally get one tiny distinct
+scan for their domain. Suggested rules:
+
+- completeness == 1           → ``not_null`` row check
+- completeness in [hi, 1)     → ``completeness_min`` table check (floored)
+- numeric                     → ``in_range`` over the [p0.5, p99.5] span,
+                                widened by ``range_slack`` so boundary
+                                values don't flap (quantiles via sketch —
+                                bounded memory at any scale)
+- string, distinct <= max_domain → ``isin`` domain check
+- distinct ≈ rows on a non-float column → ``unique`` table check (PK-like)
+
+Every suggested rule except ``unique`` passes on the profiled data by
+construction. ``unique`` is deliberately looser: a column whose
+distinctness is within ``unique_tolerance`` of 1 is ALMOST a key, and the
+suggested check then FAILS on the profiled data, surfacing the duplicates
+— flagging a near-key with existing dups is more useful than silently not
+suggesting the constraint (approx_count_distinct's own ~2% error also sits
+inside the tolerance).
+
+``bytes``-typed columns are never profiled (the column-pruning discipline:
+suggestion is a metadata pass and must not read payloads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, NumericType, StringType
+
+from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+
+def suggest_suite(
+    df: DataFrame,
+    name: str = "suggested",
+    partition_by: list[str] | None = None,
+    max_domain: int = 32,
+    range_slack: float = 0.1,
+    completeness_floor: float = 0.9,
+    unique_tolerance: float = 0.02,
+) -> CheckSuite:
+    """Profile ``df`` and return a CheckSuite the profiled data satisfies."""
+    fields = [
+        f for f in df.schema.fields if not isinstance(f.dataType, BinaryType)
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = f.name
+        aggs.append(F.count(c).alias(f"nn__{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"nd__{c}"))
+        if isinstance(f.dataType, NumericType):
+            aggs.append(F.min(c).alias(f"mn__{c}"))
+            aggs.append(F.max(c).alias(f"mx__{c}"))
+            aggs.append(
+                F.expr(f"percentile_approx({c}, array(0.005, 0.995))").alias(
+                    f"pq__{c}"
+                )
+            )
+    prof = df.agg(*aggs).first()
+    n_rows = prof["__n"] or 0
+
+    checks: list[Check] = []
+    prio = 1
+    for f in fields:
+        c = f.name
+        nn, nd = prof[f"nn__{c}"], prof[f"nd__{c}"]
+        completeness = (nn / n_rows) if n_rows else 1.0
+        if n_rows and completeness == 1.0:
+            checks.append(Check(f"{c}_not_null", "not_null", c, priority=prio))
+        elif completeness >= completeness_floor:
+            # floor slightly below observed so sampling noise doesn't flap
+            floor = max(0.0, round(completeness - 0.01, 4))
+            checks.append(
+                Check(f"{c}_completeness", "completeness_min", c,
+                      {"min_ratio": floor}, priority=prio)
+            )
+        prio += 1
+        if isinstance(f.dataType, NumericType):
+            lo, hi = prof[f"mn__{c}"], prof[f"mx__{c}"]
+            pq = prof[f"pq__{c}"]
+            if lo is not None and hi is not None and pq:
+                p_lo, p_hi = float(pq[0]), float(pq[-1])
+                span = max(p_hi - p_lo, abs(p_hi) * 0.01, 1e-9)
+                checks.append(
+                    Check(f"{c}_range", "in_range", c,
+                          {"min": min(float(lo), p_lo - range_slack * span),
+                           "max": max(float(hi), p_hi + range_slack * span)},
+                          priority=prio)
+                )
+                prio += 1
+        if isinstance(f.dataType, StringType) and nd and nd <= max_domain:
+            domain = [
+                r[0]
+                for r in df.select(c).filter(F.col(c).isNotNull())
+                .distinct().limit(max_domain + 1).collect()
+            ]
+            if len(domain) <= max_domain:
+                checks.append(
+                    Check(f"{c}_domain", "isin", c,
+                          {"values": sorted(domain)}, priority=prio)
+                )
+                prio += 1
+        # PK-like: near-total distinctness on a non-floating column
+        if (
+            nd
+            and n_rows
+            and nd >= n_rows * (1 - unique_tolerance)
+            and f.dataType.simpleString() not in ("double", "float")
+        ):
+            checks.append(
+                Check(f"{c}_unique", "unique", c, {}, priority=prio)
+            )
+            prio += 1
+    return CheckSuite(
+        name=name, checks=checks, partition_by=partition_by or []
+    )

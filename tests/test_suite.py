@@ -303,3 +303,35 @@ def test_table_check_lifts_payload_mode_floor(spark, clips_dir):
     assert rows["flat_p50"]["passed"]
     assert 0.0 < rows["flat_p50"]["metric_value"] < 1.0
     res.unpersist()
+
+
+def test_suggest_suite_profiles_and_passes(spark, clips_dir):
+    """Constraint suggestion (Deequ-style): the suggested suite is
+    JSON-round-trippable, its non-unique rules pass on the profiled data,
+    and the near-key unique rule surfaces the fixture's planted duplicate
+    clip_ids."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import CheckSuite
+    from doc_quality_check_spark.suite.suggest import suggest_suite
+
+    clips = load_clips(spark, clips_dir).drop("bytes")
+    suite = suggest_suite(clips, partition_by=["part_key"])
+    kinds = {c.constraint_id: c.kind for c in suite.checks}
+    assert kinds.get("clip_id_not_null") == "not_null"
+    assert kinds.get("dur_ms_range") == "in_range"
+    assert kinds.get("codec_domain") == "isin"          # low-cardinality
+    assert kinds.get("clip_id_unique") == "unique"      # near-key
+    assert not any(c.column == "bytes" for c in suite.checks)
+    # round-trips through the declarative JSON spec
+    again = CheckSuite.from_json(suite.to_json())
+    assert [c.constraint_id for c in again.checks] == list(kinds)
+
+    res = SuiteRunner(suite).run(clips, payload=False)
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    # every suggested rule passes on the profiled data except the
+    # documented unique near-key, which surfaces the planted dups
+    failing = {cid for cid, r in rows.items() if not r["passed"]}
+    assert failing <= {"clip_id_unique"}
+    assert "clip_id_unique" in failing
+    res.unpersist()
