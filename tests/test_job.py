@@ -259,3 +259,53 @@ def test_job_resume_with_metric_table_check(spark, clips_dir, tmp_path):
     assert rows["conf_p50"]["passed"]
     assert 0.0 <= rows["conf_p50"]["metric_value"] <= 100.0
     jr2.result.unpersist()
+
+
+def test_metric_history_anomaly_detection(tmp_path):
+    """Manifest trail → anomaly flags: a stable metric forms a band, the
+    outlier run fires, young histories never fire (driver-side only, no
+    Spark)."""
+    import json
+    import os
+
+    from doc_quality_check_spark.suite.history import (
+        GLOBAL_PART, detect_anomaly, metric_history,
+    )
+    from doc_quality_check_spark.suite.manifest import ManifestStore
+
+    store = ManifestStore(str(tmp_path))
+    values = [0.98, 0.975, 0.985, 0.98, 0.70]     # last run collapses
+    for i, v in enumerate(values, start=1):
+        m = {
+            "run_id": i, "started_at": "t", "suite_name": "s",
+            "constraint_versions": {}, "input_lineage": {}, "status": "complete",
+            "partitions": {GLOBAL_PART: {"status": "complete", "checks": {
+                "pass_rate": {"n_rows": 100, "n_violations": 2,
+                              "passed": True, "metric_value": v},
+            }}},
+        }
+        with open(os.path.join(str(tmp_path), f"run_{i:06d}.json"), "w") as f:
+            json.dump(m, f)
+
+    trail = metric_history(store, "pass_rate")
+    assert [r for r, _ in trail] == [1, 2, 3, 4, 5]
+
+    verdict = detect_anomaly(store, "pass_rate", k=3.0, min_history=3)
+    assert verdict.is_anomaly and verdict.n_history == 4
+    assert abs(verdict.mean - 0.98) < 0.01
+
+    # young history: never an anomaly
+    young = ManifestStore(str(tmp_path / "young"))
+    with open(os.path.join(str(tmp_path / "young"), "run_000001.json"), "w") as f:
+        json.dump({"run_id": 1, "partitions": {GLOBAL_PART: {"checks": {
+            "pass_rate": {"metric_value": 0.1}}}}}, f)
+    v2 = detect_anomaly(young, "pass_rate")
+    assert not v2.is_anomaly and v2.reason == "insufficient history"
+
+    # constant trail then a tiny move: zero-variance epsilon band fires
+    const = ManifestStore(str(tmp_path / "const"))
+    for i, v in enumerate([1.0, 1.0, 1.0, 1.0, 1.0001], start=1):
+        with open(os.path.join(str(tmp_path / "const"), f"run_{i:06d}.json"), "w") as f:
+            json.dump({"run_id": i, "partitions": {GLOBAL_PART: {"checks": {
+                "m": {"metric_value": v}}}}}, f)
+    assert detect_anomaly(const, "m").is_anomaly
