@@ -29,8 +29,9 @@ BENCH_QUERIES = [
     "lag_neighbor", "drift_psi",
     # training-pipeline operators (documents/embeddings tables)
     "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "cosine_topk", "lang_id", "token_quality",
-    "hash_split", "contamination",
+    "cosine_topk", "ann_sign_lsh", "lang_id", "token_quality",
+    "hash_split", "group_capped_sample", "unigram_logprob",
+    "contamination",
 ]
 
 

@@ -225,3 +225,81 @@ def test_tdigest_quantiles_accuracy_and_mergeability(spark, sf01_dir):
     got2 = tdigest_quantiles(li.repartition(17), "l_extendedprice", probs, delta=100)
     for p in probs:
         assert abs(got2[p] - exact[p]) <= 0.02 * spread, (p, got2[p], exact[p])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    color_type=st.sampled_from([0, 2, 3, 4, 6]),
+    fseed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, color_type, fseed):
+    """Any 8-bit PNG we can encode decodes to the exact pixels, for random
+    dimensions, color types, and per-row filter choices."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.media import decode_png
+    from tests.test_media_png import encode_png
+
+    rng = np.random.default_rng(fseed)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    filters = list(rng.integers(0, 5, size=h))
+    pal = None
+    if color_type == 3:
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        px = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+    elif ch == 1:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    else:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    got_w, got_h, gray = decode_png(
+        encode_png(px, color_type, filters=filters, palette=pal))
+    assert (got_w, got_h) == (w, h) and gray.size == w * h
+    if color_type == 0:
+        np.testing.assert_array_equal(gray.reshape(h, w), px)
+    elif color_type == 4:
+        np.testing.assert_array_equal(gray.reshape(h, w), px[:, :, 0])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    dur=st.integers(80, 900),
+    codec=st.sampled_from(["pcm_s16le", "pcm_u8", "flac"]),
+    target_db=st.floats(-40.0, -6.0),
+)
+def test_transform_normalize_property(seed, sr, dur, codec, target_db):
+    """For any synthesizable clip: the normalized payload re-decodes, its
+    RMS is within 0.5 dB of the target OR the reported gain hit the peak
+    cap, and metadata stays consistent with the payload."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.audio import (
+        curation_metrics, decode_payload, synth_clip_bytes,
+    )
+    from doc_quality_check_spark.functions.audio_transform import (
+        _encode, _resample,
+    )
+
+    buf = synth_clip_bytes(seed, sr, dur, codec)
+    sr0, pcm = decode_payload(buf, codec)
+    assert sr0 == sr
+    # direct numpy reimplementation of the UDF body (per-row check without
+    # a Spark session — the Spark path is pinned in test_audio_transform)
+    rms = float(np.sqrt(np.mean(np.square(pcm, dtype=np.float64))))
+    gain = 10.0 ** ((target_db - 20.0 * np.log10(max(rms, 1e-6))) / 20.0)
+    peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+    capped = peak > 0 and gain > 1.0 / peak
+    gain = min(gain, 1.0 / peak) if peak > 0 else gain
+    out = _encode((pcm * gain).astype(np.float32), sr, codec)
+    sr2, pcm2 = decode_payload(out, codec)
+    assert sr2 == sr
+    rms_db = curation_metrics(pcm2, sr2)[0]
+    # quantization (pcm_u8 is 8-bit) adds up to ~0.6 dB of error
+    tol = 1.0 if codec == "pcm_u8" else 0.5
+    assert capped or abs(rms_db - target_db) <= tol
+    # resample preserves sample count proportionally
+    res = _resample(pcm, sr, 16000)
+    assert abs(res.size - pcm.size * 16000 / sr) <= 2

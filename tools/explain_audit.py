@@ -111,6 +111,13 @@ def main() -> None:
     audit("ann_sign_lsh buckets JVM-side",
           "EvalPython" not in p.split("MapInPandas")[0])
 
+    # 8b. unigram_logprob: the two-pass frequency-enrich shape must keep
+    # partial aggregation (map-side combine on the token groupBy) and must
+    # not degenerate into a cartesian for the scalar-total broadcast
+    p = plan_of(QUERIES["unigram_logprob"](spark, SF))
+    audit("unigram_logprob partial agg", "partial_count" in p or "HashAggregate" in p)
+    audit("unigram_logprob no cartesian", "CartesianProduct" not in p)
+
     # 9. group_capped_sample: exactly ONE exchange (the group-key window) —
     # the hash ordering must not add extra shuffles
     p = plan_of(QUERIES["group_capped_sample"](spark, SF))
