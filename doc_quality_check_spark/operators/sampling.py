@@ -109,6 +109,47 @@ def group_capped_sample(
     )
 
 
+def pack_token_bins(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 256,
+    salt: str = "pack",
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document a
+    (pack_bucket, pack_bin) so that consecutive documents in a bin sum to
+    roughly ``budget`` tokens — the batch-construction step of a training
+    pipeline (fill each context window, minimize padding).
+
+    Scalable shape: documents first scatter into ``n_buckets`` hash buckets
+    (pure projection), then ONE window cumsum per bucket orders documents
+    by content hash and bins them at ``floor((cumsum - tokens) / budget)``.
+    A document straddling a boundary stays in the earlier bin, so bins can
+    overrun the budget by at most one document — the standard streaming
+    relaxation of first-fit; exact reset-on-overflow packing is inherently
+    sequential and would serialize the corpus. All arithmetic is integer →
+    bit-identical across engines/runs; the only shuffle is the bucket
+    window, and bucket count scales the parallelism."""
+    from pyspark.sql import Window
+
+    bucket = F.floor(hash_unit(F.col(id_col), salt) * F.lit(n_buckets)).cast(
+        "long"
+    ).alias("pack_bucket")
+    w = Window.partitionBy("pack_bucket").orderBy(
+        hash_unit(F.col(id_col), salt + "_ord").asc_nulls_last(),
+        F.col(id_col).cast("string").asc_nulls_last(),
+    )
+    out = df.select("*", bucket)
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return out.withColumn(
+        "pack_bin",
+        F.floor(
+            (cum - F.col(token_col).cast("long")) / F.lit(int(budget))
+        ).cast("long"),
+    )
+
+
 def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
                        splits: dict[str, float], salt: str = "split",
                        max_iter: int = 25) -> DataFrame:

@@ -701,6 +701,39 @@ WHERE {_hash_unit_sql('doc_id', 'strat')} <
       CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'de' THEN 1.0 ELSE 0.1 END
 """
 
+def q_pack_token_bins(spark, sf):
+    """Deterministic sequence packing: (doc_id, pack_bucket, pack_bin) with
+    consecutive hash-ordered documents binned at ~512-token boundaries
+    within 8 hash buckets (operators/sampling.py pack_token_bins; integer
+    arithmetic → bit-identical oracle)."""
+    from doc_quality_check_spark.functions.text import token_count
+    from doc_quality_check_spark.operators.sampling import pack_token_bins
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return pack_token_bins(d, "doc_id", "n_tok", budget=512, n_buckets=8).select(
+        "doc_id", "pack_bucket", "pack_bin"
+    )
+
+
+SQL_PACK_TOKEN_BINS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CAST(floor({_hash_unit_sql('doc_id', 'pack')} * 8) AS BIGINT) AS pack_bucket,
+         {_hash_unit_sql('doc_id', 'pack_ord')} AS ord_u
+  FROM documents
+)
+SELECT doc_id, pack_bucket,
+       CAST(floor((sum(n_tok) OVER (PARTITION BY pack_bucket
+                                    ORDER BY ord_u ASC, CAST(doc_id AS VARCHAR) ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok) / 512.0) AS BIGINT) AS pack_bin
+FROM toks
+"""
+
 SQL_GROUP_CAPPED_SAMPLE = f"""
 SELECT doc_id, lang
 FROM (SELECT doc_id, lang,
@@ -1588,6 +1621,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "group_capped_sample": q_group_capped_sample,
+    "pack_token_bins": q_pack_token_bins,
     "cluster_safe_split": q_cluster_safe_split,
     "contamination": q_contamination,
     "repetition": q_repetition,
@@ -1637,6 +1671,7 @@ ORACLES_EXT: dict[str, str] = {
     "hash_split": SQL_HASH_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "group_capped_sample": SQL_GROUP_CAPPED_SAMPLE,
+    "pack_token_bins": SQL_PACK_TOKEN_BINS,
     "cluster_safe_split": _cluster_split_sql(),
     "contamination": _contamination_sql(),
     "repetition": SQL_REPETITION,

@@ -316,3 +316,31 @@ def test_curation_pipeline_example(spark):
     assert 200 not in ids                                # decontaminated
     assert not {0, 100} <= ids                           # one survivor per cluster
     assert all(r["split"] in ("train", "val", "test") for r in rows)
+
+
+def test_pack_token_bins_budget_and_determinism(spark):
+    """Sequence packing: per-(bucket, bin) token sums stay within budget
+    plus one straddling document, assignment is partitioning-independent,
+    and every document gets exactly one bin."""
+    from pyspark.sql import functions as F
+
+    from doc_quality_check_spark.operators.sampling import pack_token_bins
+
+    rows = [(i, 40 + (i * 37) % 200) for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = pack_token_bins(df, "doc_id", "n_tok", budget=500, n_buckets=16)
+    a = {r["doc_id"]: (r["pack_bucket"], r["pack_bin"]) for r in out.collect()}
+    assert len(a) == 1500
+    b = {r["doc_id"]: (r["pack_bucket"], r["pack_bin"]) for r in
+         pack_token_bins(df.repartition(7), "doc_id", "n_tok",
+                         budget=500, n_buckets=16).collect()}
+    assert a == b                       # partitioning-independent
+    sums = (out.groupBy("pack_bucket", "pack_bin")
+            .agg(F.sum("n_tok").alias("s"), F.max("n_tok").alias("mx"))
+            .collect())
+    # a bin holds at most budget plus the one straddling document
+    assert all(r["s"] <= 500 + r["mx"] for r in sums)
+    # packing is tight: most bins reach at least half the budget (the
+    # straddle relaxation wastes at most one document's worth per bin)
+    full = [r for r in sums if r["s"] >= 250]
+    assert len(full) / len(sums) > 0.8
