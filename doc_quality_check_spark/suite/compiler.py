@@ -100,12 +100,21 @@ def compile_check(check: Check) -> Column:
 def with_row_checks(df, checks: list[Check]):
     """Attach one boolean ``passed__<constraint_id>`` column per check, a
     first-failure-wins ``reason`` column (priority order, app.py:369-380) and
-    a ``status`` column (Valid/Invalid — app.py:390)."""
+    a ``status`` column (Valid/Invalid — app.py:390).
+
+    A check with ``params["severity"] == "warn"`` is advisory: its pass
+    column, verdict rows, and violation listings are produced like any
+    other check's, but it never flips ``status``/``reason`` — the soft
+    counterpart of the reference's hard thresholds (a page can be flagged
+    without being ruled Invalid)."""
     row_checks = [c for c in checks if c.is_row_level]
     for c in row_checks:
         df = df.withColumn(PASS_PREFIX + c.constraint_id, compile_check(c))
+    hard = [
+        c for c in row_checks if str(c.params.get("severity", "error")) != "warn"
+    ]
     reason = F.lit("OK")
-    for c in sorted(row_checks, key=lambda c: c.priority, reverse=True):
+    for c in sorted(hard, key=lambda c: c.priority, reverse=True):
         reason = F.when(~F.col(PASS_PREFIX + c.constraint_id), F.lit(c.constraint_id)).otherwise(reason)
     df = df.withColumn("reason", reason)
     return df.withColumn(

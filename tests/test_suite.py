@@ -335,3 +335,36 @@ def test_suggest_suite_profiles_and_passes(spark, clips_dir):
     assert failing <= {"clip_id_unique"}
     assert "clip_id_unique" in failing
     res.unpersist()
+
+
+def test_warn_severity_checks_are_advisory(spark, clips_dir):
+    """severity='warn' checks report verdicts and violations but never flip
+    a row's status/reason — the soft-threshold counterpart of hard checks."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(400)
+    suite = CheckSuite(
+        name="warns", partition_by=["part_key"],
+        checks=[
+            Check("id_ok", "not_null", "clip_id", priority=1),
+            # fires on roughly half the fixture, but only advises
+            Check("dur_soft_cap", "in_range", "dur_ms",
+                  {"min": 1, "max": 800, "severity": "warn"}, priority=5),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, payload=False)
+    checked = res.checked
+    warned = checked.filter(~F.col("passed__dur_soft_cap"))
+    assert warned.count() > 0
+    # warned rows stay Valid with reason OK (advisory only)
+    assert warned.filter(F.col("status") != "Valid").count() == 0
+    assert warned.filter(F.col("reason") != "OK").count() == 0
+    # but the warn check still produces verdict rows and violation listings
+    rows = {r["constraint_id"]: r for r in res.verdicts.collect()
+            if r["part_key"] != "__global__" and r["constraint_id"] == "dur_soft_cap"}
+    assert rows and any(r["n_violations"] > 0 for r in rows.values())
+    v = res.violations.filter(F.col("constraint_id") == "dur_soft_cap").count()
+    assert v == warned.count()
+    res.unpersist()
