@@ -79,9 +79,13 @@ def transform_clips(
     single decode-encode pass. Returns the input schema with ``payload_col``
     /``sr_col``/``dur_col`` rewritten plus audit columns (gain_db applied,
     trimmed_ms removed, transform_error)."""
-    in_schema = df.schema
-    out_schema = StructType(list(in_schema.fields) + AUDIT_FIELDS)
-    col_names = [f.name for f in in_schema.fields]
+    # idempotent audit columns: a chained transform_clips(transform_clips(..))
+    # call, or an input already carrying audit columns, must not produce
+    # duplicate names — prior audit columns are REPLACED by this pass's
+    audit_names = {f.name for f in AUDIT_FIELDS}
+    in_fields = [f for f in df.schema.fields if f.name not in audit_names]
+    out_schema = StructType(in_fields + AUDIT_FIELDS)
+    col_names = [f.name for f in in_fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -131,6 +135,11 @@ def transform_clips(
                     out_dur = int(round(1000.0 * pcm.size / sr))
                 except Exception as exc:  # in-band error row, original kept
                     err = str(exc)
+                    # NULL int metadata arrives as pandas NaN in a float
+                    # column; passing NaN into the IntegerType output would
+                    # fail the Arrow cast — keep it an explicit NULL
+                    out_sr = None if pd.isna(sr_meta) else int(sr_meta)
+                    out_dur = None if pd.isna(dur_meta) else int(dur_meta)
                 new_payloads.append(out_buf)
                 new_srs.append(out_sr)
                 new_durs.append(out_dur)

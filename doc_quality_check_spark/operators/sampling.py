@@ -136,10 +136,14 @@ def pack_token_bins(
     bucket = F.floor(hash_unit(F.col(id_col), salt) * F.lit(n_buckets)).cast(
         "long"
     ).alias("pack_bucket")
+    # explicit ROWS frame: Spark's default for an ordered window is RANGE,
+    # which lumps ordering PEERS (duplicate ids) into one cumulative step —
+    # diverging from the oracle's ROWS frame and breaking the one-document
+    # overrun bound (same rule as every other cumsum in the repo)
     w = Window.partitionBy("pack_bucket").orderBy(
         hash_unit(F.col(id_col), salt + "_ord").asc_nulls_last(),
         F.col(id_col).cast("string").asc_nulls_last(),
-    )
+    ).rowsBetween(Window.unboundedPreceding, 0)
     out = df.select("*", bucket)
     cum = F.sum(F.col(token_col).cast("long")).over(w)
     return out.withColumn(

@@ -110,9 +110,7 @@ def with_row_checks(df, checks: list[Check]):
     row_checks = [c for c in checks if c.is_row_level]
     for c in row_checks:
         df = df.withColumn(PASS_PREFIX + c.constraint_id, compile_check(c))
-    hard = [
-        c for c in row_checks if str(c.params.get("severity", "error")) != "warn"
-    ]
+    hard = [c for c in row_checks if c.severity != "warn"]
     reason = F.lit("OK")
     for c in sorted(hard, key=lambda c: c.priority, reverse=True):
         reason = F.when(~F.col(PASS_PREFIX + c.constraint_id), F.lit(c.constraint_id)).otherwise(reason)

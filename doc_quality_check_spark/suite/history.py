@@ -17,6 +17,7 @@ partition × constraint).
 
 from __future__ import annotations
 
+import json
 import math
 from dataclasses import dataclass
 
@@ -25,21 +26,30 @@ from doc_quality_check_spark.suite.manifest import ManifestStore
 GLOBAL_PART = "__global__"
 
 
+def _manifests(store: ManifestStore) -> list[dict]:
+    """Parse every run manifest once (oldest first). Callers probing many
+    constraints over long trails should load once and pass the result to
+    metric_history/detect_anomaly via ``manifests=`` rather than re-reading
+    N files per constraint."""
+    out = []
+    for path in store._paths():
+        with open(path) as f:
+            out.append(json.load(f))
+    return sorted(out, key=lambda m: int(m.get("run_id", 0)))
+
+
 def metric_history(
     store: ManifestStore,
     constraint_id: str,
     part_key: str = GLOBAL_PART,
     metric: str = "metric_value",
+    manifests: list[dict] | None = None,
 ) -> list[tuple[int, float]]:
     """(run_id, value) trail for one (partition, constraint) metric, oldest
     first, skipping runs where the metric is absent/None (e.g. the
     constraint was added later — histories survive suite evolution)."""
     out: list[tuple[int, float]] = []
-    for path in store._paths():
-        import json
-
-        with open(path) as f:
-            m = json.load(f)
+    for m in manifests if manifests is not None else _manifests(store):
         checks = m.get("partitions", {}).get(part_key, {}).get("checks", {})
         v = checks.get(constraint_id, {}).get(metric)
         if v is not None:
@@ -51,8 +61,9 @@ def metric_history(
 class AnomalyVerdict:
     constraint_id: str
     part_key: str
-    value: float          # latest run's metric
-    mean: float           # history mean (excluding latest)
+    run_id: int | None    # the run whose metric was judged (None: no data)
+    value: float          # that run's metric
+    mean: float           # history mean (excluding the judged run)
     stddev: float
     n_history: int
     is_anomaly: bool
@@ -77,14 +88,30 @@ def detect_anomaly(
     - relative band (optional): |value/mean - 1| > max_relative_change.
 
     Fewer than ``min_history`` prior points → never an anomaly (the trail
-    is still forming); callers gate alerting on n_history."""
-    trail = metric_history(store, constraint_id, part_key, metric)
+    is still forming); callers gate alerting on n_history. If the NEWEST
+    manifest in the store does not carry the metric (constraint removed, or
+    the run started but its partitions aren't recorded yet), no verdict is
+    invented about a stale run: the result is non-anomalous with an
+    explicit reason, and ``run_id`` always names the run actually judged."""
+    manifests = _manifests(store)
+    trail = metric_history(store, constraint_id, part_key, metric,
+                           manifests=manifests)
+    newest = int(manifests[-1]["run_id"]) if manifests else None
+    if trail and newest is not None and trail[-1][0] != newest:
+        return AnomalyVerdict(
+            constraint_id, part_key, None, float("nan"), float("nan"),
+            float("nan"), len(trail), False,
+            f"metric absent from latest run (run {newest}; last seen in "
+            f"run {trail[-1][0]})",
+        )
     if len(trail) < min_history + 1:
         v = trail[-1][1] if trail else float("nan")
-        return AnomalyVerdict(constraint_id, part_key, v, float("nan"),
+        return AnomalyVerdict(constraint_id, part_key,
+                              trail[-1][0] if trail else None, v,
+                              float("nan"),
                               float("nan"), max(len(trail) - 1, 0), False,
                               "insufficient history")
-    *prior, (_, value) = trail
+    *prior, (judged_run, value) = trail
     vals = [v for _, v in prior]
     mean = sum(vals) / len(vals)
     var = sum((v - mean) ** 2 for v in vals) / len(vals)
@@ -98,5 +125,5 @@ def detect_anomaly(
         if rel > max_relative_change:
             fired = True
             reason = f"relative change {round(rel, 4)} > {max_relative_change}"
-    return AnomalyVerdict(constraint_id, part_key, value, mean, std,
-                          len(prior), fired, reason)
+    return AnomalyVerdict(constraint_id, part_key, judged_run, value, mean,
+                          std, len(prior), fired, reason)

@@ -232,8 +232,17 @@ class SuiteRunner:
         # not be the comparison target); evaluated inline, no Spark job.
         schema_checks = [c for c in table_checks if c.kind == "schema_match"]
         table_checks = [c for c in table_checks if c.kind != "schema_match"]
+        def _apply_severity(check, row):
+            # advisory table checks: same rule as row checks — the verdict
+            # row keeps its n_violations/metric_value but never fails
+            if check.severity == "warn" and not row[4]:
+                return (*row[:4], True, *row[5:])
+            return row
+
         for check in schema_checks:
-            table_verdict_rows.append(self._run_schema_check(full_clips, check))
+            table_verdict_rows.append(
+                _apply_severity(check, self._run_schema_check(full_clips, check))
+            )
             check_timings[check.constraint_id] = 0.0
         if table_checks:
             # materialize the decode/row-check cache ONCE (a single barrier
@@ -304,7 +313,9 @@ class SuiteRunner:
                         if extra is not None:
                             extras[cid] = extra
             for check in table_checks:  # preserve suite order
-                table_verdict_rows.append(results[check.constraint_id])
+                table_verdict_rows.append(
+                    _apply_severity(check, results[check.constraint_id])
+                )
                 if check.constraint_id in extras:
                     viols = viols.unionByName(extras[check.constraint_id])
             if resume_cache is not None:
@@ -355,12 +366,18 @@ class SuiteRunner:
             "n_rows",
             f"stack({len(row_checks)}, {stack_args}) as (constraint_id, n_violations)",
         )
+        # advisory (severity='warn') checks never flip a verdict's passed
+        # flag — failures stay visible through n_violations/metric_value
+        warn_ids = [c.constraint_id for c in row_checks if c.severity == "warn"]
+        passed = (F.col("n_violations") == 0) | F.col("constraint_id").isin(
+            warn_ids
+        )
         return long.select(
             "part_key",
             "constraint_id",
             F.col("n_rows").cast("long"),
             F.col("n_violations").cast("long"),
-            (F.col("n_violations") == 0).alias("passed"),
+            passed.alias("passed"),
             F.try_divide(F.col("n_violations"), F.col("n_rows")).cast("double").alias("metric_value"),
         )
 

@@ -81,6 +81,20 @@ class Check:
     def __post_init__(self) -> None:
         if self.kind not in ROW_LEVEL_KINDS | TABLE_LEVEL_KINDS:
             raise ValueError(f"unknown check kind: {self.kind!r}")
+        if str(self.params.get("severity", "error")).lower() not in (
+            "error", "warn",
+        ):
+            raise ValueError(
+                f"check {self.constraint_id!r}: severity must be 'error' or "
+                f"'warn', got {self.params['severity']!r}"
+            )
+
+    @property
+    def severity(self) -> str:
+        """'error' (default) or 'warn' — advisory checks report verdicts and
+        violations but never flip a row's status or a verdict's passed flag.
+        Case-insensitive in the spec; normalized here."""
+        return str(self.params.get("severity", "error")).lower()
 
     @property
     def is_row_level(self) -> bool:

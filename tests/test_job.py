@@ -309,3 +309,32 @@ def test_metric_history_anomaly_detection(tmp_path):
             json.dump({"run_id": i, "partitions": {GLOBAL_PART: {"checks": {
                 "m": {"metric_value": v}}}}}, f)
     assert detect_anomaly(const, "m").is_anomaly
+
+
+def test_anomaly_latest_run_attribution(tmp_path):
+    """The verdict names the run it judged; when the NEWEST manifest lacks
+    the metric, no verdict is invented about a stale run."""
+    import json
+    import os
+
+    from doc_quality_check_spark.suite.history import GLOBAL_PART, detect_anomaly
+    from doc_quality_check_spark.suite.manifest import ManifestStore
+
+    store = ManifestStore(str(tmp_path))
+    for i, v in enumerate([0.9, 0.9, 0.9, 0.9, 0.2], start=1):
+        m = {"run_id": i, "partitions": {GLOBAL_PART: {"checks": {
+            "m": {"metric_value": v}}}}}
+        if i == 5:
+            m["partitions"] = {}          # run 5 dropped the constraint
+        with open(os.path.join(str(tmp_path), f"run_{i:06d}.json"), "w") as f:
+            json.dump(m, f)
+    v = detect_anomaly(store, "m", min_history=2)
+    assert not v.is_anomaly and v.run_id is None
+    assert "absent from latest run (run 5" in v.reason
+
+    # with run 5 carrying the metric, the verdict names run 5
+    with open(os.path.join(str(tmp_path), "run_000005.json"), "w") as f:
+        json.dump({"run_id": 5, "partitions": {GLOBAL_PART: {"checks": {
+            "m": {"metric_value": 0.2}}}}}, f)
+    v2 = detect_anomaly(store, "m", min_history=2)
+    assert v2.is_anomaly and v2.run_id == 5

@@ -368,3 +368,32 @@ def test_warn_severity_checks_are_advisory(spark, clips_dir):
     v = res.violations.filter(F.col("constraint_id") == "dur_soft_cap").count()
     assert v == warned.count()
     res.unpersist()
+
+
+def test_warn_severity_table_checks_and_validation(spark, clips_dir):
+    """Advisory semantics extend to table-level checks (verdict keeps its
+    violation evidence but never fails), severity is case-insensitive, and
+    junk severities are rejected at spec construction."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.runner import GLOBAL_PART, SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    clips = load_clips(spark, clips_dir).drop("bytes")
+    suite = CheckSuite(
+        name="warn_table", partition_by=["part_key"],
+        checks=[
+            Check("id_ok", "not_null", "clip_id", priority=1),
+            # the fixture HAS duplicate ids — as a warn, this must not fail
+            Check("id_unique_soft", "unique", "clip_id",
+                  {"severity": "WARN"}),            # case-insensitive
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, payload=False)
+    g = {r["constraint_id"]: r for r in res.verdicts.collect()
+         if r["part_key"] == GLOBAL_PART}
+    assert g["id_unique_soft"]["passed"]            # advisory: never fails
+    assert g["id_unique_soft"]["n_violations"] > 0  # evidence kept
+    res.unpersist()
+
+    with pytest.raises(ValueError, match="severity"):
+        Check("bad", "not_null", "clip_id", {"severity": "fatal"})

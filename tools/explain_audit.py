@@ -85,7 +85,7 @@ def main() -> None:
     p = plan_of(QUERIES["dedup_jaccard"](spark, SF))
     audit("dedup_jaccard no cartesian",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
-    audit("dedup_jaccard partial agg", "partial_count" in p or "HashAggregate" in p)
+    audit("dedup_jaccard partial agg", "partial_count" in p)
 
     # 7. cosine_topk: corpus side never shuffles (broadcast of queries only),
     # and the per-partition pre-cut sits BEFORE the top-k window's exchange so
@@ -114,8 +114,10 @@ def main() -> None:
     # 8b. unigram_logprob: the two-pass frequency-enrich shape must keep
     # partial aggregation (map-side combine on the token groupBy) and must
     # not degenerate into a cartesian for the scalar-total broadcast
+    # 'HashAggregate' alone is vacuous (any aggregate plan contains it);
+    # require the partial_count marker that only map-side combine prints
     p = plan_of(QUERIES["unigram_logprob"](spark, SF))
-    audit("unigram_logprob partial agg", "partial_count" in p or "HashAggregate" in p)
+    audit("unigram_logprob partial agg", "partial_count" in p)
     audit("unigram_logprob no cartesian", "CartesianProduct" not in p)
 
     # 9. group_capped_sample: exactly ONE exchange (the group-key window) —
