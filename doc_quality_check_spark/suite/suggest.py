@@ -48,8 +48,15 @@ def suggest_suite(
     range_slack: float = 0.1,
     completeness_floor: float = 0.9,
     unique_tolerance: float = 0.02,
+    range_severity: str = "error",
 ) -> CheckSuite:
-    """Profile ``df`` and return a CheckSuite the profiled data satisfies."""
+    """Profile ``df`` and return a CheckSuite the profiled data satisfies.
+
+    ``range_severity="warn"`` stamps the suggested in_range rules as
+    advisory — the right default posture for auto-derived numeric bounds
+    on their first deployment (they encode today's distribution, not a
+    hard contract; promote to errors after the bounds have been reviewed).
+    """
     fields = [
         f for f in df.schema.fields if not isinstance(f.dataType, BinaryType)
     ]
@@ -91,11 +98,14 @@ def suggest_suite(
             if lo is not None and hi is not None and pq:
                 p_lo, p_hi = float(pq[0]), float(pq[-1])
                 span = max(p_hi - p_lo, abs(p_hi) * 0.01, 1e-9)
+                params = {
+                    "min": min(float(lo), p_lo - range_slack * span),
+                    "max": max(float(hi), p_hi + range_slack * span),
+                }
+                if range_severity != "error":
+                    params["severity"] = range_severity
                 checks.append(
-                    Check(f"{c}_range", "in_range", c,
-                          {"min": min(float(lo), p_lo - range_slack * span),
-                           "max": max(float(hi), p_hi + range_slack * span)},
-                          priority=prio)
+                    Check(f"{c}_range", "in_range", c, params, priority=prio)
                 )
                 prio += 1
         if isinstance(f.dataType, StringType) and nd and nd <= max_domain:

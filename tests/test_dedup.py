@@ -344,3 +344,22 @@ def test_pack_token_bins_budget_and_determinism(spark):
     # straddle relaxation wastes at most one document's worth per bin)
     full = [r for r in sums if r["s"] >= 250]
     assert len(full) / len(sums) > 0.8
+
+
+def test_pack_token_bins_duplicate_ids_rows_frame(spark):
+    """Duplicate ids are ordering PEERS: the explicit ROWS frame must give
+    them distinct cumulative sums (Spark's default RANGE frame would lump
+    peers together, overrunning the budget bound and diverging from the
+    oracle's ROWS frame)."""
+    from pyspark.sql import functions as F
+
+    from doc_quality_check_spark.operators.sampling import pack_token_bins
+
+    # many rows share each doc_id → heavy peer groups in every bucket
+    rows = [(i % 40, 300) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok int")
+    out = pack_token_bins(df, "doc_id", "n_tok", budget=500, n_buckets=4)
+    sums = (out.groupBy("pack_bucket", "pack_bin")
+            .agg(F.sum("n_tok").alias("s"), F.max("n_tok").alias("mx"))
+            .collect())
+    assert all(r["s"] <= 500 + r["mx"] for r in sums)

@@ -397,3 +397,16 @@ def test_warn_severity_table_checks_and_validation(spark, clips_dir):
 
     with pytest.raises(ValueError, match="severity"):
         Check("bad", "not_null", "clip_id", {"severity": "fatal"})
+
+
+def test_suggest_suite_warn_ranges(spark, clips_dir):
+    """range_severity='warn' stamps the suggested numeric bounds advisory."""
+    from doc_quality_check_spark.sources.clips import load_clips
+    from doc_quality_check_spark.suite.suggest import suggest_suite
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(300)
+    suite = suggest_suite(clips, range_severity="warn")
+    ranges = [c for c in suite.checks if c.kind == "in_range"]
+    assert ranges and all(c.severity == "warn" for c in ranges)
+    others = [c for c in suite.checks if c.kind != "in_range"]
+    assert all(c.severity == "error" for c in others)
