@@ -109,6 +109,38 @@ def group_capped_sample(
     )
 
 
+def upsample_groups(
+    df: DataFrame,
+    group_col: str,
+    factors: dict[str, float],
+    id_col: str | None = None,
+    salt: str = "upsample",
+) -> DataFrame:
+    """Deterministic per-group upsampling WITH replacement: a row whose
+    group has factor f appears floor(f) times, plus once more for the
+    frac(f) share of rows selected by content hash — the oversampling
+    counterpart of :func:`stratified_hash_sample` (epoch-style repetition
+    of rare groups, e.g. {"low_resource_lang": 2.5}). Adds a ``copy_id``
+    (0-based repeat index) so downstream shuffling can distinguish repeats.
+
+    Groups not in ``factors`` keep factor 1. Pure projection + explode —
+    no shuffle, no RNG; the same rows repeat every run."""
+    whole = F.lit(1.0)
+    for g, f in factors.items():
+        whole = F.when(F.col(group_col) == F.lit(g), F.lit(float(f))).otherwise(whole)
+    key = F.col(id_col) if id_col else F.col(group_col)
+    frac_keep = hash_unit(key, salt) < (whole - F.floor(whole))
+    n_copies = (F.floor(whole) + F.when(frac_keep, 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy_id", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+        )
+        .drop("__n_copies")
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     id_col: str,

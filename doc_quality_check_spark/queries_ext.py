@@ -701,6 +701,19 @@ WHERE {_hash_unit_sql('doc_id', 'strat')} <
       CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'de' THEN 1.0 ELSE 0.1 END
 """
 
+def q_upsample_groups(spark, sf):
+    """Deterministic per-group upsampling with replacement: 'en' docs repeat
+    2x, 'de' ~2.5x (hash-selected fractional share), others once —
+    (doc_id, lang, copy_id) rows (operators/sampling.py upsample_groups)."""
+    from doc_quality_check_spark.operators.sampling import upsample_groups
+
+    d = t(spark, sf, "documents").select("doc_id", "lang")
+    return upsample_groups(d, "lang", {"en": 2.0, "de": 2.5}, id_col="doc_id")
+
+
+SQL_UPSAMPLE_GROUPS = None  # assigned below, after _hash_unit_sql
+
+
 def q_pack_token_bins(spark, sf):
     """Deterministic sequence packing: (doc_id, pack_bucket, pack_bin) with
     consecutive hash-ordered documents binned at ~512-token boundaries
@@ -716,6 +729,28 @@ def q_pack_token_bins(spark, sf):
         "doc_id", "pack_bucket", "pack_bin"
     )
 
+
+# static copies table (DuckDB table functions reject correlated bounds —
+# the 10-copy ceiling is far above any sane factor; a factor above it would
+# silently truncate, so keep factors < 10 or raise the bound LOUDLY)
+SQL_UPSAMPLE_GROUPS = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 2.0 WHEN lang = 'de' THEN 2.5
+              ELSE 1.0 END AS fac,
+         {_hash_unit_sql('doc_id', 'upsample')} AS u
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         CAST(floor(fac) + CASE WHEN u < fac - floor(fac) THEN 1 ELSE 0 END
+              AS INT) AS n_copies
+  FROM f
+),
+nums AS (SELECT unnest(range(0, 10)) AS g)
+SELECT doc_id, lang, g AS copy_id
+FROM n JOIN nums ON nums.g < n.n_copies
+"""
 
 SQL_PACK_TOKEN_BINS = f"""
 WITH toks AS (
@@ -1622,6 +1657,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "group_capped_sample": q_group_capped_sample,
     "pack_token_bins": q_pack_token_bins,
+    "upsample_groups": q_upsample_groups,
     "cluster_safe_split": q_cluster_safe_split,
     "contamination": q_contamination,
     "repetition": q_repetition,
@@ -1672,6 +1708,7 @@ ORACLES_EXT: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "group_capped_sample": SQL_GROUP_CAPPED_SAMPLE,
     "pack_token_bins": SQL_PACK_TOKEN_BINS,
+    "upsample_groups": SQL_UPSAMPLE_GROUPS,
     "cluster_safe_split": _cluster_split_sql(),
     "contamination": _contamination_sql(),
     "repetition": SQL_REPETITION,

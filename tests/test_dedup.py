@@ -363,3 +363,33 @@ def test_pack_token_bins_duplicate_ids_rows_frame(spark):
             .agg(F.sum("n_tok").alias("s"), F.max("n_tok").alias("mx"))
             .collect())
     assert all(r["s"] <= 500 + r["mx"] for r in sums)
+
+
+def test_upsample_groups_deterministic_factors(spark):
+    """Group upsampling: integer factors repeat exactly, fractional factors
+    hit the expected share, factor-1 groups pass through once, and the same
+    rows repeat every run."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from doc_quality_check_spark.operators.sampling import upsample_groups
+
+    rows = [(i, "rare" if i % 10 == 0 else ("mid" if i % 10 == 1 else "common"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = upsample_groups(df, "lang", {"rare": 3.0, "mid": 2.5}, id_col="doc_id")
+    per = Counter((r["lang"]) for r in out.collect())
+    assert per["rare"] == 300 * 3                  # exact integer factor
+    assert 2.3 * 300 < per["mid"] < 2.7 * 300      # ~2.5x via hash share
+    assert per["common"] == 2400                   # untouched
+    # copy_id enumerates repeats from 0
+    mx = out.filter(F.col("lang") == "rare").agg(F.max("copy_id")).first()[0]
+    assert mx == 2
+    # deterministic: identical multiset on re-run with different partitioning
+    again = Counter((r["doc_id"], r["copy_id"]) for r in
+                    upsample_groups(df.repartition(7), "lang",
+                                    {"rare": 3.0, "mid": 2.5},
+                                    id_col="doc_id").collect())
+    first = Counter((r["doc_id"], r["copy_id"]) for r in out.collect())
+    assert again == first
