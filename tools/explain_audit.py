@@ -120,6 +120,12 @@ def main() -> None:
     audit("unigram_logprob partial agg", "partial_count" in p)
     audit("unigram_logprob no cartesian", "CartesianProduct" not in p)
 
+    # 8c. sampling projections are shuffle-free: stratified sampling and
+    # upsampling must compile to scan+project/explode with NO exchange
+    for qname in ("stratified_sample", "upsample_groups"):
+        p = plan_of(QUERIES[qname](spark, SF))
+        audit(f"{qname} no shuffle", "Exchange" not in p)
+
     # 9. group_capped_sample: exactly ONE exchange (the group-key window) —
     # the hash ordering must not add extra shuffles
     p = plan_of(QUERIES["group_capped_sample"](spark, SF))
