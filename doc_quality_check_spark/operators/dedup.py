@@ -262,11 +262,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     threshold: float = 0.6,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash: band-bucket equi-join proposes
     candidates; exact shingle Jaccard verifies >= threshold. Output
     (id_a, id_b, jaccard). A pair at similarity s is caught with probability
-    1-(1-s^r)^b (r=4, b=4: s=0.97 → ~0.9998)."""
+    1-(1-s^r)^b (r=4, b=4: s=0.97 → ~0.9998).
+
+    ``materialize`` (default OFF, unlike :func:`jaccard_pairs`): eager
+    localCheckpoints of the band table + verification shingles were A/B
+    measured SLOWER here (2.7-3.0s → ~4.1s at sf0.1, 3 interleaved reps):
+    the candidate-restricted verify reuses far less recompute than
+    jaccard's four-consumer explosion, and the two blocking
+    materializations serialize subtrees Spark otherwise runs concurrently.
+    Kept as a knob for shapes where candidates dominate."""
     k = bands * rows_per_band
     sig = minhash_signatures(df, id_col, text_col, n, k)
     band_cols = [
@@ -283,6 +292,8 @@ def minhash_lsh_pairs(
     long = banded.selectExpr(
         id_col, f"stack({bands}, {stack}) AS (band_idx, band_key)"
     )
+    if materialize:
+        long = long.localCheckpoint(eager=True)
     a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     cand = (
@@ -294,6 +305,8 @@ def minhash_lsh_pairs(
     # exact-Jaccard verification restricted to the candidate pairs — the
     # shared-shingle count is computed per candidate, not all-pairs
     sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -343,14 +356,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_hamming: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming →
     (id_a, id_b, hamming). Candidates come from an equi-join on 8-bit blocks:
     with 4 blocks and max_hamming <= 3, pigeonhole guarantees one identical
-    block per qualifying pair — equivalent to the all-pairs scan, without it."""
+    block per qualifying pair — equivalent to the all-pairs scan, without it.
+
+    ``materialize`` (default OFF): checkpointing the signature table before
+    the two self-join sides A/B measured a wash at sf0.1 (2.6-3.2s both
+    ways, 3 interleaved reps) — the signature agg is one cheap pass and the
+    blocking checkpoint gives back what the reuse saves. Knob kept for
+    wider signature tables."""
     assert max_hamming < SIMHASH_BLOCKS, "pigeonhole requires max_hamming < n_blocks"
     sig = simhash(df, id_col, text_col, n)
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     blocks = sig.select(
         F.col(id_col),
         "simhash",
