@@ -28,7 +28,8 @@ BENCH_QUERIES = [
     "semi_join", "freq_enrich", "argmax_per_group", "topn_per_group",
     "lag_neighbor", "drift_psi",
     # training-pipeline operators (documents/embeddings tables)
-    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_jaccard", "dedup_jaccard_prefix", "dedup_minhash_lsh",
+    "dedup_simhash",
     "cosine_topk", "ann_sign_lsh", "lang_id", "token_quality",
     "hash_split", "group_capped_sample", "unigram_logprob",
     "contamination",

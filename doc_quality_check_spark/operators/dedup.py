@@ -234,6 +234,120 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    materialize_shingles: bool = True,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (All-Pairs / PPJoin family:
+    Bayardo et al. WWW'07, Xiao et al. WWW'08) — same output contract as
+    :func:`jaccard_pairs` (every pair with shingle-set Jaccard >= threshold,
+    no false negatives), but the inverted index holds only each document's
+    PREFIX: its ``|x| - ceil(t*|x|) + 1`` rarest shingles under a global
+    (document-frequency ASC, shingle) order.
+
+    Why this is the 100 TB shape: the self-join cost of the full inverted
+    index is sum(df^2) over shingles, and df is Zipfian. Prefix filtering
+    (a) drops ~t fraction of postings per document, and (b) keeps exactly
+    the RAREST shingles, so the surviving join buckets are the smallest
+    ones — the quadratic term collapses superlinearly. A length filter
+    (min(|x|,|y|) >= t*max(|x|,|y|), necessary for J >= t) prunes candidates
+    before the verify join. Verification then counts shared shingles only
+    for surviving candidates, exactly as :func:`minhash_lsh_pairs` does.
+
+    Correctness (pigeonhole): if J(x,y) >= t then o = |x∩y| >= t*|x∪y| >=
+    ceil(t*max(|x|,|y|)). Let e be the globally smallest element of x∩y; if
+    e were outside x's prefix, at most ceil(t*|x|)-1 elements of x rank at
+    or after e, yet all o >= ceil(t*|x|) common elements do — contradiction.
+    So e lies in BOTH prefixes and the prefix equi-join finds every
+    qualifying pair. The 1e-6 epsilon on ceil()/the length filter only ever
+    LENGTHENS prefixes / ADMITS extra candidates at float boundaries (extra
+    work, never a miss).
+
+    Measured (local[32]): on the LOW-skew fixture corpus (max shingle DF 25
+    at sf0.1) the extra DF-rank shuffle makes prefix ~25% slower than the
+    full join (4.0s vs 3.2s best-of-3 interleaved) — there are no hot
+    buckets to collapse. On a SKEWED corpus (4k/16k docs sharing a 10-token
+    boilerplate footer, ``max_shingle_df=None``): full join 2.4s -> 30.0s
+    for 4x docs (quadratic, ~1G join rows), prefix 5.5s -> 3.1s (flat).
+    Prefix is also semantically stronger under skew: it returns EXACT
+    Jaccard over the full shingle universe at bounded cost, where
+    ``jaccard_pairs`` must approximate by dropping hot shingles from the
+    measure. The driver oracle for both is the same SQL."""
+    from pyspark.sql import Window
+
+    sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
+    if materialize_shingles:
+        # consumed by the DF agg, the rank join, the verify join (x2) and
+        # the size agg — same measured rationale as jaccard_pairs
+        sh = sh.localCheckpoint(eager=True)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("s_df"))
+    w = Window.partitionBy(id_col).orderBy("s_df", "shingle")
+    wall = Window.partitionBy(id_col)
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-6))
+        + F.lit(1)
+    )
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_sh", F.count("*").over(wall))
+        .filter(F.col("rk") <= plen)
+        .select(id_col, "shingle", "n_sh")
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-6)
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(za), "id_a").join(F.broadcast(zb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -444,6 +444,19 @@ SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM jac WHERE jaccard >= 0.6
 """
 
 
+def q_dedup_jaccard_prefix(spark, sf):
+    """Same exact-Jaccard pair contract as dedup_jaccard, computed through
+    the prefix-filtered index (operators/dedup.py jaccard_pairs_prefix —
+    All-Pairs/PPJoin prefix + length filter, verify on candidates). Shares
+    SQL_DEDUP_JACCARD: the driver hash-compares both forms against the SAME
+    oracle, which is the no-false-negatives proof."""
+    from doc_quality_check_spark.operators.dedup import jaccard_pairs_prefix
+
+    d = t(spark, sf, "documents")
+    p = jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.6)
+    return p.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_dedup_clusters(spark, sf):
     """Transitive near-dup clusters: connected components over the Jaccard
     pair graph (iterative min-label propagation, operators/dedup.py).
@@ -1649,6 +1662,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kv_pairs": q_kv_pairs,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_keep_best": q_dedup_keep_best,
@@ -1700,6 +1714,7 @@ ORACLES_EXT: dict[str, str] = {
     "kv_pairs": SQL_KV_PAIRS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_jaccard_prefix": SQL_DEDUP_JACCARD,
     "dedup_clusters": _dedup_clusters_sql(),
     "dedup_clusters_star": _dedup_clusters_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),

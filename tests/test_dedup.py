@@ -393,3 +393,81 @@ def test_upsample_groups_deterministic_factors(spark):
                                     id_col="doc_id").collect())
     first = Counter((r["doc_id"], r["copy_id"]) for r in out.collect())
     assert again == first
+
+
+def test_prefix_jaccard_matches_full_on_fixture(docs):
+    """jaccard_pairs_prefix is an exact algorithm: identical pair set AND
+    identical jaccard values to the full inverted-index join over the
+    fixture corpus (planted ~0.97 near-dups plus organic pairs)."""
+    from doc_quality_check_spark.operators.dedup import jaccard_pairs_prefix
+
+    full = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in
+            jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()}
+    pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in
+            jaccard_pairs_prefix(docs, "doc_id", "text", threshold=0.6).collect()}
+    assert full, "fixture must contain near-dup pairs"
+    assert pref == full
+
+
+def test_prefix_jaccard_boundary_thresholds(spark):
+    """Threshold sweep on an engineered token-set corpus with pairs AT the
+    boundary (J exactly 0.6) and asymmetric lengths — a prefix one element
+    too short or a mis-rounded length filter drops the boundary pair."""
+    from doc_quality_check_spark.operators.dedup import jaccard_pairs_prefix
+
+    rows = [
+        (1, "a b c d"),                    # J(1,2)=3/5=0.6 exact boundary
+        (2, "a b c e"),
+        (3, "a b c d"),                    # exact dup of 1 -> J=1.0
+        (4, "p q r s t u v w x y"),        # J(4,5)=9/11≈0.818
+        (5, "p q r s t u v w x z"),
+        (6, "entirely unrelated token stream zero overlap"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for thr in (0.5, 0.6, 0.75, 0.82, 0.9, 1.0):
+        full = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in
+                jaccard_pairs(df, "doc_id", "text", n=1, threshold=thr).collect()}
+        pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in
+                jaccard_pairs_prefix(df, "doc_id", "text", n=1,
+                                     threshold=thr).collect()}
+        assert pref == full, f"threshold {thr}: {pref} != {full}"
+    at06 = {(r["id_a"], r["id_b"]) for r in
+            jaccard_pairs_prefix(df, "doc_id", "text", n=1,
+                                 threshold=0.6).collect()}
+    assert (1, 2) in at06 and (2, 3) in at06 and (1, 3) in at06
+    assert (4, 5) in at06
+
+
+def test_prefix_jaccard_uncapped_skew_corpus(spark):
+    """Skew guard: on a boilerplate-heavy corpus with the DF cap DISABLED
+    (every doc shares a hot footer; the shape that makes the full inverted
+    index quadratic) the prefix form still returns the exact pair set."""
+    from pyspark.sql import functions as F
+    from doc_quality_check_spark.operators.dedup import jaccard_pairs_prefix
+
+    boiler = "this document is confidential property of example corp"
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", *[
+                F.concat(F.lit(f"w{j}_"), F.col("id")) for j in range(12)
+            ]),
+            F.lit(boiler),
+        ).alias("text"),
+    )
+    # plant 3 near-dup pairs: doc_id 1000+i = copy of i with one body token changed
+    dup = df.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.regexp_replace("text", "w0_", "x0_").alias("text"),
+    )
+    corpus = df.unionByName(dup)
+    full = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in
+            jaccard_pairs(corpus, "doc_id", "text", threshold=0.5,
+                          max_shingle_df=None).collect()}
+    pref = {(r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in
+            jaccard_pairs_prefix(corpus, "doc_id", "text", threshold=0.5,
+                                 max_shingle_df=None).collect()}
+    planted = {(i, 1000 + i) for i in range(3)}
+    assert planted <= {(a, b) for a, b, _ in pref}
+    assert pref == full

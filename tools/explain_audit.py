@@ -87,6 +87,15 @@ def main() -> None:
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
     audit("dedup_jaccard partial agg", "partial_count" in p)
 
+    # 6b. prefix-filtered jaccard: still hash joins only, and the prefix
+    #     row_number window must rank by the document-frequency join column
+    #     (the rarest-shingles order that collapses the join buckets)
+    p = plan_of(QUERIES["dedup_jaccard_prefix"](spark, SF))
+    audit("dedup_jaccard_prefix no cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    audit("dedup_jaccard_prefix ranks by shingle DF",
+          "row_number" in p and "s_df" in p)
+
     # 7. cosine_topk: corpus side never shuffles (broadcast of queries only),
     # and the per-partition pre-cut sits BEFORE the top-k window's exchange so
     # only P*Q*k survivor rows shuffle, not the full corpus×queries product
