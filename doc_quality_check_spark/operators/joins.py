@@ -64,3 +64,93 @@ def frequency_enrich(
     identity_detection.py:261-327 → :329-451)."""
     freq = df.groupBy(key).agg(F.count("*").alias(count_col))
     return df.join(F.broadcast(freq), on=key, how="left")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row is matched to the single
+    ``right`` row with the greatest ``ts_col`` <= the left row's, per key
+    (DuckDB/kdb ``ASOF JOIN`` semantics; left rows without a prior right
+    row keep NULLs). Output = all ``left`` columns + each requested right
+    column as ``<name><suffix>``.
+
+    THE scalable shape: tag each side, union, and window-fill with
+    ``last(..., ignorenulls=True)`` over (key, ts, side) — no join operator
+    at all, so there is exactly ONE shuffle (the window exchange on the
+    key) and both inputs arrive co-partitioned through it. The naive
+    alternatives fail at 10^12 rows: an inequality join degenerates to a
+    per-key cross product, and per-key ``applyInPandas`` materializes whole
+    keys in Python. Per-key window state here is O(1) per row (running
+    last), and skew is bounded by per-key row counts exactly like
+    sessionization. Right rows sort BEFORE left rows at equal timestamps
+    (side 0 < 1), so an equal-ts right row IS matched — the ``l.ts >=
+    r.ts`` convention.
+
+    Contract: ``right`` must be unique per (key, ts) — pre-aggregate with
+    ``max_by`` otherwise (ambiguous as-of is nondeterministic under any
+    engine). ``tolerance_us``: matches older than ``ts - tolerance`` are
+    nulled (the matched right ts is tracked internally in epoch
+    microseconds).
+    """
+    lcols = left.columns
+    out_cols = [f"{c}{suffix}" for c in right_cols]
+    rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
+
+    l_tag = left.withColumn("__side", F.lit(1))
+    for c, oc in zip(right_cols, out_cols):
+        l_tag = l_tag.withColumn(oc, F.lit(None).cast(rtypes[c]))
+    r_tag = right.select(
+        *key_cols,
+        F.col(ts_col),
+        *[F.col(c).alias(oc) for c, oc in zip(right_cols, out_cols)],
+    ).withColumn("__side", F.lit(0))
+    for c in lcols:
+        if c not in set(key_cols) | {ts_col}:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in left.schema.fields)[c]))
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.asc(ts_col), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # all fills in ONE projection -> a single Window node in the plan
+    fills = {
+        oc: F.last(
+            F.when(F.col("__side") == 0, F.col(oc)), ignorenulls=True
+        ).over(w)
+        for oc in out_cols
+    }
+    keep = [c for c in unioned.columns if c not in fills]
+    filled = unioned.select(
+        *keep, *[fills[oc].alias(oc) for oc in out_cols]
+    )
+    if tolerance_us is not None:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        m_us = F.last(
+            F.when(F.col("__side") == 0, F.unix_micros(F.col(ts_col).cast("timestamp"))),
+            ignorenulls=True,
+        ).over(w)
+        filled = unioned.select(
+            *keep,
+            *[fills[oc].alias(oc) for oc in out_cols],
+            ((us - m_us) <= F.lit(tolerance_us)).alias("__in_tol"),
+        )
+        filled = filled.select(
+            *keep,
+            *[
+                F.when(F.col("__in_tol"), F.col(oc)).alias(oc)
+                for oc in out_cols
+            ],
+        )
+    return filled.filter(F.col("__side") == 1).select(*lcols, *out_cols)

@@ -1474,6 +1474,53 @@ SELECT CAST(0.0 AS DOUBLE) AS psi, CAST(0.0 AS DOUBLE) AS ks
 # generalized to per-entity running stats
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark, sf):
+    """Backward as-of join (operators/joins.py asof_join): every click
+    event matched to the user's most recent error event at or before it.
+    The right side is pre-aggregated to one row per (user_id, ts) via
+    max/max_by(event_id) so the as-of is well-defined; DuckDB's native
+    ASOF LEFT JOIN is the oracle."""
+    from doc_quality_check_spark.operators.joins import asof_join
+
+    ev = t(spark, sf, "events")
+    l = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    r = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_event"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    out = asof_join(l, r, ["user_id"], "ts", ["err_event", "err_value"], suffix="")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value").cast("double"), 4).alias("click_value"),
+        "err_event",
+        F.round(F.col("err_value").cast("double"), 4).alias("err_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, ts, max(event_id) AS err_event,
+         arg_max(value, event_id) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+       round(CAST(l.value AS DOUBLE), 4) AS click_value,
+       r.err_event AS err_event,
+       round(CAST(r.err_value AS DOUBLE), 4) AS err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_moving_avg(spark, sf):
     """3-row trailing moving average per user (deterministic ts+id order)."""
     from pyspark.sql import Window
@@ -1691,6 +1738,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freq_boost": q_freq_boost,
     "priority_reclass": q_priority_reclass,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "iou_dedupe": q_iou_dedupe,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -1743,6 +1791,7 @@ ORACLES_EXT: dict[str, str] = {
     "freq_boost": SQL_FREQ_BOOST,
     "priority_reclass": _reclass_sql(),
     "sessionize": SQL_SESSIONIZE,
+    "asof_join": SQL_ASOF_JOIN,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "heavy_hitters_cms": _cms_sql(),
     "self_drift": SQL_SELF_DRIFT,

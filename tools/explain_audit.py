@@ -96,6 +96,14 @@ def main() -> None:
     audit("dedup_jaccard_prefix ranks by shingle DF",
           "row_number" in p and "s_df" in p)
 
+    # 6c. asof_join: the union-window shape must contain NO join operator
+    #     and exactly one Window node (all fills fused); the only shuffles
+    #     are the right-side pre-agg + the window exchange
+    p = plan_of(QUERIES["asof_join"](spark, SF))
+    audit("asof_join has no join operator", "Join" not in p)
+    audit("asof_join single fused window", p.count("Window [") == 1)
+    audit("asof_join bounded shuffles", p.count("Exchange hashpartitioning") <= 2)
+
     # 7. cosine_topk: corpus side never shuffles (broadcast of queries only),
     # and the per-partition pre-cut sits BEFORE the top-k window's exchange so
     # only P*Q*k survivor rows shuffle, not the full corpus×queries product
