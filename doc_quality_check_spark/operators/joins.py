@@ -154,3 +154,48 @@ def asof_join(
             ],
         )
     return filled.filter(F.col("__side") == 1).select(*lcols, *out_cols)
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    pt_col: str,
+    start_col: str,
+    end_col: str,
+    bin_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Point-in-interval join: every (point, interval) pair on the same key
+    with ``start <= pt <= end`` (inclusive BETWEEN semantics) — the binned
+    range join. A plain inequality join is planned as a per-key cross
+    product (quadratic under hot keys at 10^12 rows); instead both sides
+    are mapped to fixed-width time bins — points to ONE bin, intervals
+    EXPLODED over every bin they cover — and the pairing becomes an
+    equi-join on (key, bin) with the exact BETWEEN predicate as a
+    post-filter. Join cost is then sum over bins of |pts|x|ivs| within the
+    bin, not per key.
+
+    ``bin_us``: bin width in the same units as the columns (default 1h in
+    epoch-microseconds). Choose it near the typical interval length:
+    fanout per interval is ~len/bin_us + 1 exploded rows, while oversized
+    bins re-grow the per-bin cross product. Timestamps should be
+    pre-converted to epoch microseconds (``F.unix_micros``); any monotonic
+    numeric domain works.
+    """
+    pb = points.withColumn(
+        "__bin", F.floor(F.col(pt_col) / F.lit(bin_us)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bin_us)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bin_us)).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on=key_cols + ["__bin"])
+        .filter(F.col(pt_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__bin")
+    )

@@ -1521,6 +1521,54 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join(spark, sf):
+    """Binned point-in-interval join (operators/joins.py range_join_points):
+    clicks landing within 10 minutes after any error by the same user.
+    Epoch-microsecond domain on both engines (Spark unix_micros == DuckDB
+    epoch_us for naive timestamps); the oracle is the plain BETWEEN
+    inequality join the binned form must reproduce exactly."""
+    from doc_quality_check_spark.operators.joins import range_join_points
+
+    ev = t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("pt_us"), "value"
+    )
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event"),
+        "user_id",
+        us.alias("t0_us"),
+        (us + F.lit(600 * 1_000_000)).alias("t1_us"),
+    )
+    out = range_join_points(
+        pts, iv, ["user_id"], "pt_us", "t0_us", "t1_us",
+        bin_us=600 * 1_000_000,
+    )
+    return out.select(
+        "event_id",
+        "err_event",
+        "user_id",
+        F.round(F.col("value").cast("double"), 4).alias("click_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS pt_us, value
+  FROM events WHERE event_type = 'click'
+),
+iv AS (
+  SELECT event_id AS err_event, user_id,
+         epoch_us(ts) AS t0_us, epoch_us(ts) + 600000000 AS t1_us
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.event_id, iv.err_event, p.user_id,
+       round(CAST(p.value AS DOUBLE), 4) AS click_value
+FROM p JOIN iv
+  ON p.user_id = iv.user_id AND p.pt_us BETWEEN iv.t0_us AND iv.t1_us
+"""
+
+
 def q_moving_avg(spark, sf):
     """3-row trailing moving average per user (deterministic ts+id order)."""
     from pyspark.sql import Window
@@ -1739,6 +1787,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_reclass": q_priority_reclass,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "iou_dedupe": q_iou_dedupe,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -1792,6 +1841,7 @@ ORACLES_EXT: dict[str, str] = {
     "priority_reclass": _reclass_sql(),
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "heavy_hitters_cms": _cms_sql(),
     "self_drift": SQL_SELF_DRIFT,

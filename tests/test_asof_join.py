@@ -71,3 +71,34 @@ def test_asof_left_columns_untouched(spark):
     assert res.columns == ["event_id", "user_id", "ts", "value", "r_value_r"]
     vals = {r["event_id"]: r["value"] for r in res.collect()}
     assert vals == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0, 5: 5.0}
+
+
+def test_range_join_boundaries_and_bin_spanning(spark):
+    """range_join_points must reproduce exact BETWEEN semantics regardless
+    of bin width: inclusive ends, intervals spanning many bins, per-key
+    isolation."""
+    from doc_quality_check_spark.operators.joins import range_join_points
+
+    pts = spark.createDataFrame(
+        [
+            (1, "k1", 100),   # == interval start (inclusive)
+            (2, "k1", 250),   # interior, bin far from interval start bin
+            (3, "k1", 300),   # == interval end (inclusive)
+            (4, "k1", 301),   # just past end
+            (5, "k1", 99),    # just before start
+            (6, "k2", 250),   # other key, no intervals
+        ],
+        ["pt_id", "key", "pt"],
+    )
+    iv = spark.createDataFrame(
+        [("i1", "k1", 100, 300), ("i2", "k1", 260, 270), ("i3", "k3", 0, 1000)],
+        ["iv_id", "key", "t0", "t1"],
+    )
+    for bin_w in (7, 50, 1000):  # spans ~29 bins / ~5 bins / sub-bin
+        got = {
+            (r["pt_id"], r["iv_id"])
+            for r in range_join_points(
+                pts, iv, ["key"], "pt", "t0", "t1", bin_us=bin_w
+            ).collect()
+        }
+        assert got == {(1, "i1"), (2, "i1"), (3, "i1")}, (bin_w, got)

@@ -104,6 +104,12 @@ def main() -> None:
     audit("asof_join single fused window", p.count("Window [") == 1)
     audit("asof_join bounded shuffles", p.count("Exchange hashpartitioning") <= 2)
 
+    # 6d. range_join: the binned form must plan as a hash equi-join on
+    #     (key, bin) — never a nested-loop/cartesian inequality join
+    p = plan_of(QUERIES["range_join"](spark, SF))
+    audit("range_join is an equi-join",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+
     # 7. cosine_topk: corpus side never shuffles (broadcast of queries only),
     # and the per-partition pre-cut sits BEFORE the top-k window's exchange so
     # only P*Q*k survivor rows shuffle, not the full corpus×queries product
