@@ -399,16 +399,38 @@ HEADER_PROBE_SCHEMA = StructType(
 
 def _probe_header(buf) -> tuple[bool, int, float]:
     """Cheap tier ('superfast' mode analog, confidence_check.py:264-326):
-    container sniff + header parse only — no PCM decode, O(1) per payload."""
+    container sniff + header parse only — no PCM decode, O(1) per payload.
+
+    Containers probed, all byte-exact per their public specs:
+    - RIFF/WAVE fmt chunk (sr at offset 24, LE)
+    - REAL FLAC: 'fLaC' magic + STREAMINFO metadata block (block type 0,
+      34-byte body; sr is a 20-bit big-endian field at body offset 10) —
+      distinguished from the fixture's fake container by the block header:
+      real streams carry length bytes 00 00 22, the fake layout puts the
+      LE sample rate there.
+    - Ogg Vorbis: 'OggS' page + the identification packet ('\\x01vorbis',
+      channels u8 + sr u32-LE after the version word).
+    """
     if buf is None or len(buf) == 0:
         return False, 0, 0.0
     b = bytes(buf[:64])
     if b[:4] == _FAKE_FLAC_MAGIC and len(b) >= 12:
+        # real-FLAC STREAMINFO block header: last-flag bit + type 0, then
+        # 24-bit BE length 34
+        if len(b) >= 21 and (b[4] & 0x7F) == 0 and b[5:8] == b"\x00\x00\x22":
+            sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+            return sr > 0, int(sr), 50.0
         (sr,) = struct.unpack_from("<I", b, 4)
         return True, int(sr), 50.0
     if len(b) >= 36 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt ":
         (sr,) = struct.unpack_from("<I", b, 24)
         return True, int(sr), 50.0
+    if b[:4] == b"OggS" and len(b) >= 28:
+        nsegs = b[26]
+        p = 27 + nsegs
+        if len(b) >= p + 16 and b[p:p + 7] == b"\x01vorbis":
+            (sr,) = struct.unpack_from("<I", b, p + 12)
+            return sr > 0, int(sr), 50.0
     return False, 0, 0.0
 
 

@@ -214,3 +214,47 @@ def test_curation_metrics_and_clipping_check(spark):
     assert not got["clip"]["passed__no_clipping"]
     assert got["clip"]["clip_fraction"] > 0.01
     assert got["ok"]["rms_db"] < got["clip"]["rms_db"]
+
+
+def test_header_probe_real_flac_and_ogg_vorbis():
+    """Byte-exact header probes for REAL containers (no decode): FLAC
+    STREAMINFO (20-bit BE sample-rate field), Ogg Vorbis identification
+    packet (LE u32 sr after '\\x01vorbis'), and disambiguation from the
+    fixture's fake fLaC layout."""
+    import struct
+
+    from doc_quality_check_spark.functions.audio import (
+        _probe_header, encode_fake_flac, synth_pcm,
+    )
+
+    # real FLAC: fLaC | block hdr (last=1, type=0, len=34) | STREAMINFO
+    def real_flac(sr, total=44100, ch=2, bps=16):
+        body = struct.pack(">HH", 4096, 4096)          # min/max blocksize
+        body += b"\x00\x00\x00" * 2                     # min/max framesize
+        b20 = (sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+        body += b20.to_bytes(8, "big")
+        body += b"\x00" * 16                            # md5 of raw audio
+        assert len(body) == 34
+        return b"fLaC" + b"\x80\x00\x00\x22" + body
+
+    for sr in (8000, 16000, 44100, 96000):
+        ok, got_sr, conf = _probe_header(real_flac(sr))
+        assert (ok, got_sr) == (True, sr) and conf == 50.0
+
+    # Ogg Vorbis: 'OggS' page, 1 segment, identification packet
+    def ogg_vorbis(sr, ch=1):
+        ident = b"\x01vorbis" + struct.pack("<IB I", 0, ch, sr)
+        page = b"OggS" + b"\x00\x02" + b"\x00" * 8 + b"\x01\x02\x03\x04"
+        page += b"\x00" * 4 + b"\x00" * 4 + bytes([1, len(ident)])
+        return page + ident
+
+    for sr in (8000, 48000):
+        ok, got_sr, _ = _probe_header(ogg_vorbis(sr))
+        assert (ok, got_sr) == (True, sr)
+
+    # fake container still parses through the legacy path
+    fake = encode_fake_flac(synth_pcm(1, 16000, 100), 16000)
+    assert _probe_header(fake) == (True, 16000, 50.0)
+    # and junk stays rejected
+    assert _probe_header(b"OggSjunkjunkjunkjunkjunkjunkjunk")[0] is False
+    assert _probe_header(b"\x00" * 40)[0] is False
