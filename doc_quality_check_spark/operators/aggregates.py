@@ -322,3 +322,80 @@ def unigram_logprob_scores(
             round_dp,
         ).alias("mean_logprob"),
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed EXACT prefix sum (parallel scan): adds ``out_col`` =
+    running sum of ``value_col`` over the global ``order_cols`` order —
+    without ever moving the data to one task. The naive Spark form
+    (``Window.orderBy(...)`` with no partition key) plans a SinglePartition
+    exchange: at 10^12 rows one task sorts and scans everything. This is
+    the textbook two-phase scan instead:
+
+    1. ``repartitionByRange(order_cols)`` + ``sortWithinPartitions`` gives
+       globally range-ordered partitions; the frame is localCheckpointed
+       ONCE so both phases see identical partition boundaries (range
+       boundaries come from sampling and would otherwise drift between
+       recomputations).
+    2. A P-row per-partition total table is collected, exclusive-prefixed
+       on the driver (P = #partitions, NOT data rows), and broadcast; a
+       single ``mapInPandas`` pass then emits local-cumsum + the
+       partition's offset, streaming Arrow batches in partition order with
+       O(batch) memory.
+
+    ``value_col`` must be integral (LongType) and non-null — integer
+    arithmetic keeps the scan exact and associative, so the result is
+    bit-identical to a sequential window regardless of partitioning
+    (callers with decimals: scale to micro-units first, divide after).
+    ``order_cols`` must be a unique key (a prefix sum is only well-defined
+    under a total order)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(n, *[F.asc(c) for c in order_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["__pid"]: r["t"]
+        for r in ranged.groupBy("__pid").agg(
+            F.sum(value_col).alias("t")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    out_schema = StructType(
+        [f for f in ranged.schema.fields if f.name != "__pid"]
+        + [StructField(out_col, LongType())]
+    )
+    out_names = [f.name for f in out_schema.fields]
+
+    def scan(batches):
+        running = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = int(b_off.value.get(int(pdf["__pid"].iloc[0]), 0))
+            vals = pdf[value_col].astype("int64")
+            pdf[out_col] = vals.cumsum() + running
+            running += int(vals.sum())
+            yield pdf[out_names]
+
+    return ranged.mapInPandas(scan, out_schema)

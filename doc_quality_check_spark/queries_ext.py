@@ -1521,6 +1521,37 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_running_total(spark, sf):
+    """GLOBAL running sum via the distributed two-phase scan
+    (operators/aggregates.py prefix_sum) — no single-partition window
+    anywhere in the plan. Values go through exact micro-unit integers
+    (2dp fixture values scaled 1e6) so the scan is associative and
+    bit-identical to the oracle's sequential window regardless of
+    partitioning."""
+    from doc_quality_check_spark.operators.aggregates import prefix_sum
+
+    ev = t(spark, sf, "events").select(
+        "event_id", F.round(F.col("value") * 1e6).cast("long").alias("v_us")
+    )
+    out = prefix_sum(ev, ["event_id"], "v_us", out_col="cum_us")
+    return out.select(
+        "event_id",
+        F.round(F.col("cum_us") / F.lit(1_000_000.0), 4).alias("running_value"),
+    )
+
+
+# window sum over BIGINT is HUGEINT in DuckDB -> CAST before the division
+# (the sessionize lesson, applied at authoring time)
+SQL_RUNNING_TOTAL = """
+SELECT event_id,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                  OVER (ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) / 1000000.0, 4) AS running_value
+FROM events
+"""
+
+
 def q_range_join(spark, sf):
     """Binned point-in-interval join (operators/joins.py range_join_points):
     clicks landing within 10 minutes after any error by the same user.
@@ -1788,6 +1819,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "running_total": q_running_total,
     "iou_dedupe": q_iou_dedupe,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -1842,6 +1874,7 @@ ORACLES_EXT: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "running_total": SQL_RUNNING_TOTAL,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "heavy_hitters_cms": _cms_sql(),
     "self_drift": SQL_SELF_DRIFT,

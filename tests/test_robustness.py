@@ -303,3 +303,44 @@ def test_transform_normalize_property(seed, sr, dur, codec, target_db):
     # resample preserves sample count proportionally
     res = _resample(pcm, sr, 16000)
     assert abs(res.size - pcm.size * 16000 / sr) <= 2
+
+
+def test_prefix_sum_exact_across_partitionings(spark):
+    """Distributed two-phase scan == sequential cumsum, bit-exact, for any
+    partition count (incl. more partitions than rows), negative values,
+    and non-contiguous keys."""
+    import random
+
+    from doc_quality_check_spark.operators.aggregates import prefix_sum
+
+    rng = random.Random(7)
+    keys = sorted(rng.sample(range(10_000), 500))
+    vals = [rng.randint(-1000, 1000) for _ in keys]
+    expected, acc = {}, 0
+    for k, v in zip(keys, vals):
+        acc += v
+        expected[k] = acc
+    rows = list(zip(keys, vals))
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for n in (1, 3, 7, 1000):
+        got = {
+            r["k"]: r["cum"]
+            for r in prefix_sum(
+                df.repartition(5), ["k"], "v", num_partitions=n
+            ).collect()
+        }
+        assert got == expected, f"num_partitions={n}"
+
+
+def test_prefix_sum_preserves_columns(spark):
+    from doc_quality_check_spark.operators.aggregates import prefix_sum
+
+    df = spark.createDataFrame(
+        [(2, 10, "b"), (1, 5, "a"), (3, 1, "c")], ["k", "v", "tag"]
+    )
+    out = prefix_sum(df, ["k"], "v", out_col="running")
+    assert out.columns == ["k", "v", "tag", "running"]
+    assert {(r["k"], r["running"]) for r in out.collect()} == {
+        (1, 5), (2, 15), (3, 16)
+    }

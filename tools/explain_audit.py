@@ -110,6 +110,12 @@ def main() -> None:
     audit("range_join is an equi-join",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
 
+    # 6e. running_total: the global scan must NOT plan a single-partition
+    #     window — no Window node, no SinglePartition exchange
+    p = plan_of(QUERIES["running_total"](spark, SF))
+    audit("running_total has no global window",
+          "Window" not in p and "SinglePartition" not in p)
+
     # 7. cosine_topk: corpus side never shuffles (broadcast of queries only),
     # and the per-partition pre-cut sits BEFORE the top-k window's exchange so
     # only P*Q*k survivor rows shuffle, not the full corpus×queries product
