@@ -217,3 +217,40 @@ def cluster_safe_split(df: DataFrame, id_col: str, pairs: DataFrame,
         F.col("__cc_comp").cast("string"), F.col(id_col).cast("string")
     )
     return hash_split(joined, id_col, splits, salt, key_col=rep).drop("__cc_comp")
+
+
+def select_token_budget(
+    df: DataFrame,
+    score_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a GLOBAL token budget:
+    keep documents in (score DESC, id ASC) order while the running token
+    total stays <= ``budget`` — the canonical data-mixing primitive
+    ("take the best N billion tokens"). The running total comes from the
+    distributed two-phase scan (:func:`..aggregates.prefix_sum`), so there
+    is no single-partition window: the plan survives a corpus whose sort
+    order has no useful partition key.
+
+    ``token_col`` must be non-null and NON-NEGATIVE integral: the running
+    total is then monotone, so the greedy prefix is exactly the rows with
+    cumulative tokens <= budget (a document is kept iff it fits including
+    itself; the first over-budget document and everything after are
+    dropped). Deterministic: ties in score break by ``id_col``."""
+    from doc_quality_check_spark.operators.aggregates import prefix_sum
+
+    ordered = df.withColumn("__neg_score", -F.col(score_col).cast("double"))
+    cum = prefix_sum(
+        ordered,
+        ["__neg_score", id_col],
+        token_col,
+        out_col="__cum_tokens",
+        num_partitions=num_partitions,
+    )
+    return (
+        cum.filter(F.col("__cum_tokens") <= F.lit(budget))
+        .drop("__neg_score", "__cum_tokens")
+    )

@@ -1552,6 +1552,32 @@ FROM events
 """
 
 
+def q_token_budget(spark, sf):
+    """Greedy longest-first document selection under a global 60k-char
+    budget (operators/sampling.py select_token_budget over the distributed
+    prefix_sum scan). Oracle is the sequential window cumsum with an
+    explicit ROWS frame."""
+    from doc_quality_check_spark.operators.sampling import select_token_budget
+
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    out = select_token_budget(
+        d, score_col="n_chars", token_col="n_chars", budget=60_000
+    )
+    return out.select("doc_id", "n_chars")
+
+
+SQL_TOKEN_BUDGET = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM documents
+)
+SELECT doc_id, n_chars FROM c WHERE cum <= 60000
+"""
+
+
 def q_range_join(spark, sf):
     """Binned point-in-interval join (operators/joins.py range_join_points):
     clicks landing within 10 minutes after any error by the same user.
@@ -1820,6 +1846,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "running_total": q_running_total,
+    "token_budget": q_token_budget,
     "iou_dedupe": q_iou_dedupe,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -1875,6 +1902,7 @@ ORACLES_EXT: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
     "running_total": SQL_RUNNING_TOTAL,
+    "token_budget": SQL_TOKEN_BUDGET,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "heavy_hitters_cms": _cms_sql(),
     "self_drift": SQL_SELF_DRIFT,

@@ -471,3 +471,32 @@ def test_prefix_jaccard_uncapped_skew_corpus(spark):
     planted = {(i, 1000 + i) for i in range(3)}
     assert planted <= {(a, b) for a, b, _ in pref}
     assert pref == full
+
+
+def test_select_token_budget_greedy_prefix(spark):
+    """Budget selection = greedy quality-desc prefix: exact boundary doc
+    kept when it fits, dropped when it overflows; ties break by id."""
+    from doc_quality_check_spark.operators.sampling import select_token_budget
+
+    rows = [
+        (1, 9.0, 40),
+        (2, 8.0, 30),
+        (3, 8.0, 30),   # score tie with 2 -> id order decides
+        (4, 7.0, 50),
+        (5, 1.0, 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "toks"])
+
+    def pick(budget):
+        return {
+            r["doc_id"]
+            for r in select_token_budget(
+                df, "score", "toks", budget, id_col="doc_id"
+            ).collect()
+        }
+
+    assert pick(100) == {1, 2, 3}          # 40+30+30 fits, doc 4 overflows
+    assert pick(99) == {1, 2}              # boundary: doc 3 would hit 100
+    assert pick(1000) == {1, 2, 3, 4, 5}   # everything fits
+    assert pick(39) == set()               # even the best doc overflows
+    assert pick(70) == {1, 2}              # 40+30 exact boundary kept
