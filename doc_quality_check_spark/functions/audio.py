@@ -419,7 +419,10 @@ def _probe_header(buf) -> tuple[bool, int, float]:
         # 24-bit BE length 34
         if len(b) >= 21 and (b[4] & 0x7F) == 0 and b[5:8] == b"\x00\x00\x22":
             sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
-            return sr > 0, int(sr), 50.0
+            # failed probe (zero sr field) reports 0.0 like every other
+            # reject path — a consumer reading hdr_conf alone must not see
+            # a confident pass
+            return sr > 0, int(sr), 50.0 if sr > 0 else 0.0
         (sr,) = struct.unpack_from("<I", b, 4)
         return True, int(sr), 50.0
     if len(b) >= 36 and b[0:4] == b"RIFF" and b[8:12] == b"WAVE" and b[12:16] == b"fmt ":
@@ -430,7 +433,7 @@ def _probe_header(buf) -> tuple[bool, int, float]:
         p = 27 + nsegs
         if len(b) >= p + 16 and b[p:p + 7] == b"\x01vorbis":
             (sr,) = struct.unpack_from("<I", b, p + 12)
-            return sr > 0, int(sr), 50.0
+            return sr > 0, int(sr), 50.0 if sr > 0 else 0.0
     return False, 0, 0.0
 
 

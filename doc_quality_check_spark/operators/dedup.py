@@ -165,6 +165,75 @@ def dedup_exact_keep_first(
 DEFAULT_MAX_SHINGLE_DF = 1000
 
 
+def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop shingles with document frequency > ``max_shingle_df`` from an
+    exploded shingle relation (linear count pass + broadcast anti-join; the
+    hot list itself is tiny by construction — see the :func:`jaccard_pairs`
+    cost model). ``None`` disables the cap."""
+    if max_shingle_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def _verify_jaccard(
+    cand: DataFrame | None,
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    broadcast_sizes: bool = True,
+) -> DataFrame:
+    """Score (id_a, id_b) pairs by EXACT shingle Jaccard over ``sh`` and
+    keep those >= ``threshold`` — the single shared verification stage of
+    :func:`jaccard_pairs`, :func:`jaccard_pairs_prefix` and
+    :func:`minhash_lsh_pairs` (one formula, one ``id_a < id_b`` convention,
+    one join strategy to maintain).
+
+    ``cand=None`` enumerates ALL shared-shingle pairs (the full
+    inverted-index self-join); otherwise only the given candidates are
+    scored. ``broadcast_sizes``: the per-document size table has one row
+    per surviving document — broadcasting it is the fast plan while the
+    corpus fits on the driver, but at 10^9+ documents it must shuffle
+    instead (pass False; the join key is the pair id either way)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if cand is None:
+        shared = (
+            sa.join(sb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+    else:
+        shared = (
+            cand.join(sa, "id_a")
+            .join(sb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_shared"))
+        )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    if broadcast_sizes:
+        za, zb = F.broadcast(za), F.broadcast(zb)
+    return (
+        shared.join(za, "id_a").join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -173,6 +242,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     materialize_shingles: bool = True,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold →
     (id_a, id_b, jaccard). Exact over the kept shingle universe: any pair
@@ -202,36 +272,8 @@ def jaccard_pairs(
     sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
     if materialize_shingles:
         sh = sh.localCheckpoint(eager=True)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    sh = _drop_hot_shingles(sh, max_shingle_df)
+    return _verify_jaccard(None, sh, id_col, threshold, broadcast_sizes)
 
 
 def jaccard_pairs_prefix(
@@ -242,6 +284,7 @@ def jaccard_pairs_prefix(
     threshold: float = 0.6,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     materialize_shingles: bool = True,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (All-Pairs / PPJoin family:
     Bayardo et al. WWW'07, Xiao et al. WWW'08) — same output contract as
@@ -285,13 +328,7 @@ def jaccard_pairs_prefix(
         # consumed by the DF agg, the rank join, the verify join (x2) and
         # the size agg — same measured rationale as jaccard_pairs
         sh = sh.localCheckpoint(eager=True)
-    if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = _drop_hot_shingles(sh, max_shingle_df)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("s_df"))
     w = Window.partitionBy(id_col).orderBy("s_df", "shingle")
     wall = Window.partitionBy(id_col)
@@ -323,29 +360,7 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        shared.join(F.broadcast(za), "id_a").join(F.broadcast(zb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _verify_jaccard(cand, sh, id_col, threshold, broadcast_sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +392,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.6,
     materialize: bool = False,
+    broadcast_sizes: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash: band-bucket equi-join proposes
     candidates; exact shingle Jaccard verifies >= threshold. Output
@@ -421,29 +437,7 @@ def minhash_lsh_pairs(
     sh = exploded_shingles(df, id_col, text_col, n, hashed=True)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        shared.join(F.broadcast(za), "id_a").join(F.broadcast(zb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_shared")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-    )
+    return _verify_jaccard(cand, sh, id_col, threshold, broadcast_sizes)
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,14 @@ def asof_join(
     """
     lcols = left.columns
     out_cols = [f"{c}{suffix}" for c in right_cols]
+    clash = set(out_cols) & set(lcols)
+    if clash:
+        # silently overwriting a left column with right-side fills would
+        # destroy left payload data — refuse instead
+        raise ValueError(
+            f"asof_join output columns {sorted(clash)} collide with left "
+            "columns; pass a suffix that makes them distinct"
+        )
     rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
 
     l_tag = left.withColumn("__side", F.lit(1))
@@ -132,10 +140,11 @@ def asof_join(
         for oc in out_cols
     }
     keep = [c for c in unioned.columns if c not in fills]
-    filled = unioned.select(
-        *keep, *[fills[oc].alias(oc) for oc in out_cols]
-    )
-    if tolerance_us is not None:
+    if tolerance_us is None:
+        filled = unioned.select(
+            *keep, *[fills[oc].alias(oc) for oc in out_cols]
+        )
+    else:
         us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         m_us = F.last(
             F.when(F.col("__side") == 0, F.unix_micros(F.col(ts_col).cast("timestamp"))),

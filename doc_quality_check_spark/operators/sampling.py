@@ -124,11 +124,20 @@ def upsample_groups(
     (0-based repeat index) so downstream shuffling can distinguish repeats.
 
     Groups not in ``factors`` keep factor 1. Pure projection + explode —
-    no shuffle, no RNG; the same rows repeat every run."""
+    no shuffle, no RNG; the same rows repeat every run. Without ``id_col``
+    the hash point comes from the full row content (all columns), so the
+    fractional share still varies per row — hashing the group value alone
+    would make frac(f) all-or-nothing for the whole group."""
     whole = F.lit(1.0)
     for g, f in factors.items():
         whole = F.when(F.col(group_col) == F.lit(g), F.lit(float(f))).otherwise(whole)
-    key = F.col(id_col) if id_col else F.col(group_col)
+    if id_col:
+        key = F.col(id_col)
+    else:
+        key = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns],
+        )
     frac_keep = hash_unit(key, salt) < (whole - F.floor(whole))
     n_copies = (F.floor(whole) + F.when(frac_keep, 1).otherwise(0)).cast("int")
     return (

@@ -724,25 +724,6 @@ def q_upsample_groups(spark, sf):
     return upsample_groups(d, "lang", {"en": 2.0, "de": 2.5}, id_col="doc_id")
 
 
-SQL_UPSAMPLE_GROUPS = None  # assigned below, after _hash_unit_sql
-
-
-def q_pack_token_bins(spark, sf):
-    """Deterministic sequence packing: (doc_id, pack_bucket, pack_bin) with
-    consecutive hash-ordered documents binned at ~512-token boundaries
-    within 8 hash buckets (operators/sampling.py pack_token_bins; integer
-    arithmetic → bit-identical oracle)."""
-    from doc_quality_check_spark.functions.text import token_count
-    from doc_quality_check_spark.operators.sampling import pack_token_bins
-
-    d = t(spark, sf, "documents").select(
-        "doc_id", token_count("text").alias("n_tok")
-    )
-    return pack_token_bins(d, "doc_id", "n_tok", budget=512, n_buckets=8).select(
-        "doc_id", "pack_bucket", "pack_bin"
-    )
-
-
 # static copies table (DuckDB table functions reject correlated bounds —
 # the 10-copy ceiling is far above any sane factor; a factor above it would
 # silently truncate, so keep factors < 10 or raise the bound LOUDLY)
@@ -764,6 +745,25 @@ nums AS (SELECT unnest(range(0, 10)) AS g)
 SELECT doc_id, lang, g AS copy_id
 FROM n JOIN nums ON nums.g < n.n_copies
 """
+
+
+
+
+def q_pack_token_bins(spark, sf):
+    """Deterministic sequence packing: (doc_id, pack_bucket, pack_bin) with
+    consecutive hash-ordered documents binned at ~512-token boundaries
+    within 8 hash buckets (operators/sampling.py pack_token_bins; integer
+    arithmetic → bit-identical oracle)."""
+    from doc_quality_check_spark.functions.text import token_count
+    from doc_quality_check_spark.operators.sampling import pack_token_bins
+
+    d = t(spark, sf, "documents").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    return pack_token_bins(d, "doc_id", "n_tok", budget=512, n_buckets=8).select(
+        "doc_id", "pack_bucket", "pack_bin"
+    )
+
 
 SQL_PACK_TOKEN_BINS = f"""
 WITH toks AS (

@@ -26,16 +26,20 @@ from doc_quality_check_spark.suite.manifest import ManifestStore
 GLOBAL_PART = "__global__"
 
 
-def _manifests(store: ManifestStore) -> list[dict]:
+def load_manifests(store: ManifestStore) -> list[dict]:
     """Parse every run manifest once (oldest first). Callers probing many
     constraints over long trails should load once and pass the result to
     metric_history/detect_anomaly via ``manifests=`` rather than re-reading
-    N files per constraint."""
+    N files per constraint. Also the public way to enumerate partition keys
+    (``manifests[-1]["partitions"]``) without touching store internals."""
     out = []
     for path in store._paths():
         with open(path) as f:
             out.append(json.load(f))
     return sorted(out, key=lambda m: int(m.get("run_id", 0)))
+
+
+_manifests = load_manifests  # backward-compat alias
 
 
 def metric_history(

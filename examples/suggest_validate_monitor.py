@@ -61,9 +61,9 @@ def main() -> None:
         # 3. monitor the dur_ms violation-rate trail after each run.
         # Row-check verdicts are PER-PARTITION (table checks land under
         # __global__), so the monitor walks every partition's trail.
-        from doc_quality_check_spark.suite.history import _manifests
+        from doc_quality_check_spark.suite.history import load_manifests
 
-        manifests = _manifests(job.manifests)
+        manifests = load_manifests(job.manifests)
         parts = sorted(
             pk for pk in manifests[-1].get("partitions", {}) if pk != "__global__"
         )
