@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "cosine_topk", "ann_sign_lsh", "lang_id", "token_quality",
     "hash_split", "group_capped_sample", "unigram_logprob",
-    "contamination",
+    "contamination", "boilerplate_lines", "bm25_search", "snapshot_diff",
 ]
 
 

@@ -399,3 +399,37 @@ def prefix_sum(
             yield pdf[out_names]
 
     return ranged.mapInPandas(scan, out_schema)
+
+
+def skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Key-distribution profile for shuffle planning: the ``top_n`` heaviest
+    keys → (key, n, frac, skew_factor), where ``skew_factor`` is the key's
+    size relative to the MEAN key (ceil(n * n_keys / total)) — directly the
+    salting fan-out a skewed join/agg on that key needs (split a
+    skew_factor=37 key into ~37 salted subkeys to level the reducers), and
+    the evidence for enabling AQE skew-join handling. NULL keys profile as a
+    key like any other — a mostly-NULL join column is the classic silent
+    skew killer.
+
+    Scale shape: one partial-agg groupBy on the key, a scalar broadcast for
+    (total, n_keys), and an ordered take for the top-n — the profile costs
+    one shuffle of (key, count) pairs regardless of corpus size."""
+    counts = df.groupBy(F.col(key_col)).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(key_col),
+            F.col("n"),
+            F.round(F.col("n") / F.col("__total"), 6).alias("frac"),
+            F.ceil(
+                F.col("n") * F.col("__n_keys") / F.col("__total")
+            ).cast("long").alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), F.asc_nulls_last(key_col))
+        .limit(top_n)
+    )

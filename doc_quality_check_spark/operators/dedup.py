@@ -751,3 +751,56 @@ def contamination_flags(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 2,
+    broadcast_hot: bool = True,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb line-dedup step):
+    a LINE (``\\n``-separated, compared after trim) that appears in more
+    than ``max_line_df`` distinct documents is boilerplate — nav bars,
+    cookie banners, license footers — and is dropped from EVERY document.
+    Output one row per input document: (id, clean_text, n_lines_removed);
+    a document whose every line is boilerplate survives with ``''`` (the
+    caller decides whether to drop empties — removal must not silently
+    shrink the corpus).
+
+    Scale shape: one posexplode (projection), ONE groupBy on the trimmed
+    line to find hot lines (partial-agg combines before the shuffle), one
+    join back, one groupBy(id) to reassemble — order restored via the
+    captured line position, not a window. Empty lines carry no identity and
+    are never counted or removed. ``broadcast_hot``: the hot-line list is
+    tiny under production thresholds (~100+ docs) but grows as the
+    threshold drops; pass False to let the probe join shuffle instead of
+    shipping the list to every executor."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("__pos", "__line"),
+    )
+    hot = (
+        lines.filter(F.trim(F.col("__line")) != "")
+        .groupBy(F.trim(F.col("__line")).alias("__norm"))
+        .agg(F.count_distinct(F.col(id_col)).alias("__line_df"))
+        .filter(F.col("__line_df") > max_line_df)
+        .select("__norm")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    j = lines.join(hot, F.trim(lines["__line"]) == hot["__norm"], "left")
+    kept = F.when(
+        F.col("__norm").isNull(),
+        F.struct(F.col("__pos").alias("pos"), F.col("__line").alias("line")),
+    )
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.col("__norm")).alias("n_lines_removed"),
+    )

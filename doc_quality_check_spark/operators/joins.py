@@ -208,3 +208,47 @@ def range_join_points(
         .filter(F.col(pt_col).between(F.col(start_col), F.col(end_col)))
         .drop("__bin")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level delta between two snapshots of the same table →
+    (keys..., change_type ∈ added | removed | changed) — what changed
+    between two Iceberg snapshot reads, the validation primitive behind
+    incremental re-checking (only re-validate the delta) and change audits.
+    Unchanged rows are NOT emitted. Comparison is NULL-safe per column
+    (NULL = NULL is unchanged; NULL vs value is changed). Keys must be
+    unique per snapshot — pre-aggregate otherwise.
+
+    Scale shape: ONE full-outer shuffle join on the key columns (both
+    sides hash-partition by key; AQE handles skewed keys); the compare
+    columns ride the shuffle, nothing else does. At 10^12 rows prune
+    ``compare_cols`` to the checked subset — the shuffle width is the
+    operator's only cost knob."""
+    o = old.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        j.select(*key_cols, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

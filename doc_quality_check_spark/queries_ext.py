@@ -1803,7 +1803,165 @@ FROM events
 # registry
 # ---------------------------------------------------------------------------
 
+def q_boilerplate_lines(spark, sf):
+    """Corpus boilerplate-line removal (operators/dedup.py
+    remove_boilerplate_lines): line structure is synthesized
+    deterministically from the single-line fixture text (8-token lines),
+    then any line shared by more than 2 distinct documents is dropped from
+    every document — the C4-style line-dedup cleaning step."""
+    from doc_quality_check_spark.operators.dedup import remove_boilerplate_lines
+
+    d = t(spark, sf, "documents")
+    arr = F.split(F.trim(F.col("text")), " ")
+    n_lines = F.ceil(F.size(arr) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(F.slice(arr, i * F.lit(8) + F.lit(1), 8), " "),
+    )
+    d2 = d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    out = remove_boilerplate_lines(d2, "doc_id", "text", max_line_df=2)
+    return out.select("doc_id", "clean_text", "n_lines_removed")
+
+
+SQL_BOILERPLATE_LINES = """
+WITH a AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+),
+ln AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(arr)/8.0) AS INT)),
+                        i -> {'pos': i,
+                              'line': array_to_string(list_slice(arr, i*8+1, i*8+8), ' ')})
+           AS pl
+  FROM a
+),
+x AS (SELECT doc_id, unnest(pl) AS u FROM ln),
+y AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM x),
+hot AS (
+  SELECT trim(line) AS norm FROM y WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) > 2
+),
+k AS (
+  SELECT y.doc_id, y.pos, y.line, hot.norm
+  FROM y LEFT JOIN hot ON trim(y.line) = hot.norm
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN norm IS NULL THEN line END, chr(10) ORDER BY pos), '')
+         AS clean_text,
+       count(norm) AS n_lines_removed
+FROM k GROUP BY doc_id
+"""
+
+
+def q_bm25_search(spark, sf):
+    """Okapi BM25 keyword retrieval (operators/similarity.py bm25_topk):
+    top-15 documents for the query bag {spark, dup, vector} — 'dup' is rare
+    in the corpus (high idf), the others common, so the ranking exercises
+    both idf extremes. Per-term scores round to 6 decimals and sum as
+    DECIMAL(28,6) (the repo's float-sum parity rule)."""
+    from doc_quality_check_spark.operators.similarity import bm25_topk
+
+    d = t(spark, sf, "documents")
+    return bm25_topk(d, "doc_id", "text", ["spark", "dup", "vector"], k=15)
+
+
+SQL_BM25_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE tok <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM t2 WHERE tok IN ('spark', 'dup', 'vector')),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY tok),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY doc_id, tok),
+s AS (
+  SELECT tf.doc_id,
+         round(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS ts
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (tok), stats
+)
+SELECT doc_id, round(CAST(sum(CAST(ts AS DECIMAL(28,6))) AS DOUBLE), 4) AS bm25
+FROM s GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+"""
+
+
+def q_skew_profile(spark, sf):
+    """Key-distribution profile for shuffle planning (operators/
+    aggregates.py skew_profile): the 20 heaviest events.user_id keys with
+    corpus fraction and mean-relative skew factor (the salting fan-out a
+    skewed join on that key needs)."""
+    from doc_quality_check_spark.operators.aggregates import skew_profile
+
+    ev = t(spark, sf, "events")
+    return skew_profile(ev, "user_id", top_n=20)
+
+
+SQL_SKEW_PROFILE = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+st AS (SELECT sum(n) AS total, count(*) AS n_keys FROM c)
+SELECT user_id, n,
+       round(n / total, 6) AS frac,
+       CAST(ceil(n * n_keys / total) AS BIGINT) AS skew_factor
+FROM c, st
+ORDER BY n DESC, user_id ASC NULLS LAST
+LIMIT 20
+"""
+
+
+def q_snapshot_diff(spark, sf):
+    """Row-level snapshot delta (operators/joins.py snapshot_diff): two
+    deterministic versions of orders (old drops key%11==3 rows; new drops
+    key%7==2 rows and bumps o_totalprice on key%5==0), diffed by key with
+    NULL-safe column compare -> added/removed/changed rows only."""
+    from doc_quality_check_spark.operators.joins import snapshot_diff
+
+    o = t(spark, sf, "orders")
+    old = o.filter(F.col("o_orderkey") % 11 != 3)
+    new = o.filter(F.col("o_orderkey") % 7 != 2).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 11 <> 3
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 2
+),
+j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+                OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+              THEN 'changed'
+         END AS change_type
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "boilerplate_lines": q_boilerplate_lines,
+    "bm25_search": q_bm25_search,
+    "skew_profile": q_skew_profile,
+    "snapshot_diff": q_snapshot_diff,
     "text_clean": q_text_clean,
     "artifact_typology": q_artifact_typology,
     "lang_id": q_lang_id,
@@ -1860,6 +2018,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXT: dict[str, str] = {
+    "boilerplate_lines": SQL_BOILERPLATE_LINES,
+    "bm25_search": SQL_BM25_SEARCH,
+    "skew_profile": SQL_SKEW_PROFILE,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "text_clean": SQL_TEXT_CLEAN,
     "artifact_typology": _artifact_sql(),
     "lang_id": _lang_sql(),

@@ -161,6 +161,32 @@ def main() -> None:
     audit("group_capped_sample single shuffle", p.count("Exchange hashpartitioning") == 1,
           f"exchanges={p.count('Exchange hashpartitioning')}")
 
+    # 10. boilerplate removal: hot-line count combines map-side; probe join
+    # must never degenerate into a cartesian
+    p = plan_of(QUERIES["boilerplate_lines"](spark, SF))
+    audit("boilerplate_lines partial agg", "partial_count" in p)
+    audit("boilerplate_lines no cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+
+    # 11. bm25: corpus stats/df broadcast to the scorers; the final top-k is
+    # an ordered take, never a global sort shuffle
+    p = plan_of(QUERIES["bm25_search"](spark, SF))
+    audit("bm25 broadcast stats", "BroadcastHashJoin" in p or "BroadcastExchange" in p)
+    audit("bm25 top-k ordered take", "TakeOrderedAndProject" in p)
+
+    # 12. skew_profile: one key aggregation with map-side combine + ordered
+    # take for the top-n
+    p = plan_of(QUERIES["skew_profile"](spark, SF))
+    audit("skew_profile partial agg", "partial_count" in p)
+    audit("skew_profile top-n ordered take", "TakeOrderedAndProject" in p)
+
+    # 13. snapshot_diff: ONE full-outer equi-join on the key — hash/merge
+    # join only, no nested-loop fallback
+    p = plan_of(QUERIES["snapshot_diff"](spark, SF))
+    audit("snapshot_diff equi full-outer join",
+          "FullOuter" in p and "BroadcastNestedLoopJoin" not in p
+          and "CartesianProduct" not in p)
+
     print("FAILURES:" if failures else "all plan audits pass", failures or "")
     spark.stop()
     sys.exit(1 if failures else 0)
