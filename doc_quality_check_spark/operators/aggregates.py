@@ -433,3 +433,62 @@ def skew_profile(
         .orderBy(F.desc("n"), F.asc_nulls_last(key_col))
         .limit(top_n)
     )
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Per-group z-score outlier rows: (group, id, value, z) for every row
+    whose value lies more than ``z_threshold`` sample standard deviations
+    from its GROUP's mean — the row-level drill-down behind a distribution
+    drift alarm (PSI/KS say a partition moved; this says which rows).
+
+    Parity-stable moments: sum(x) and sum(x^2) accumulate as
+    DECIMAL(28,6) of 6-decimal-rounded terms (the repo's float-sum rule),
+    so mean/stddev are independent of partition order and bit-identical
+    across engines; the z formula itself is pure IEEE arithmetic.
+    Zero-variance groups (sd == 0) and single-row groups emit no outliers
+    — every member equals the mean, and NaN comparison semantics differ
+    across engines, so sd > 0 is filtered explicitly. NULL values carry no
+    z-score and are dropped (completeness checks own NULL counting).
+
+    Scale shape: one partial-agg groupBy for the moments, then a
+    stats-table join back (broadcast by default; pass False when the group
+    cardinality itself is huge) — the raw rows shuffle at most once."""
+    vals = df.filter(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    s = (
+        vals.groupBy(group_col)
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.round(v, 6).cast("decimal(28,6)")).cast("double").alias("__s1"),
+            F.sum(F.round(v * v, 6).cast("decimal(28,6)")).cast("double").alias("__s2"),
+        )
+        .filter(F.col("__n") > 1)
+    )
+    st = s.select(
+        F.col(group_col),
+        (F.col("__s1") / F.col("__n")).alias("__m"),
+        F.sqrt(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"))
+            / (F.col("__n") - 1)
+        ).alias("__sd"),
+    ).filter(F.col("__sd") > 0)
+    if broadcast_stats:
+        st = F.broadcast(st)
+    z = (v - F.col("__m")) / F.col("__sd")
+    return (
+        vals.join(st, group_col)
+        .filter(F.abs(z) > F.lit(z_threshold))
+        .select(
+            F.col(group_col),
+            F.col(id_col),
+            F.round(v, 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )

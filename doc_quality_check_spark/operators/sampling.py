@@ -263,3 +263,35 @@ def select_token_budget(
         cum.filter(F.col("__cum_tokens") <= F.lit(budget))
         .drop("__neg_score", "__cum_tokens")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws an Exp(weight) variate from its content
+    hash — key = -ln(u)/w with u = hash_unit(id) — and the k SMALLEST keys
+    win, which is exactly sampling without replacement with inclusion
+    probability proportional to weight. The training-pipeline use: sample a
+    corpus subset proportional to a quality/score column, reproducibly
+    (same rows every run, any partitioning, any engine).
+
+    Rows with NULL or non-positive weight are excluded (they carry no
+    sampling mass). Scale shape: pure projection + ordered take
+    (TakeOrderedAndProject) — no shuffle, no RNG state; k must fit on the
+    driver like any top-k."""
+    # +5e-7 keeps u strictly inside (0,1): hash_unit lands on exact 0 for
+    # ~1e-6 of ids and ln(0) diverges (NULL on Spark, -inf on DuckDB)
+    u = hash_unit(F.col(id_col), salt) + F.lit(5e-7)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.asc("__wkey"), F.col(id_col).cast("string").asc())
+        .limit(k)
+        .drop("__wkey")
+    )

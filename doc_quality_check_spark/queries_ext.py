@@ -1957,8 +1957,66 @@ SELECT o_orderkey, change_type FROM j WHERE change_type IS NOT NULL
 """
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.py weighted_sample, Efraimidis-Spirakis A-ES): 40 documents
+    drawn with inclusion probability proportional to n_chars, reproducible
+    from the content hash on both engines."""
+    from doc_quality_check_spark.operators.sampling import weighted_sample
+
+    d = t(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "doc_id", "n_chars", k=40)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+ORDER BY -ln({_hash_unit_sql('doc_id', 'wsample')} + 5e-7)
+           / CAST(n_chars AS DOUBLE) ASC,
+         CAST(doc_id AS VARCHAR) ASC
+LIMIT 40
+"""
+
+
+def q_zscore_outliers(spark, sf):
+    """Per-group z-score outlier rows (operators/aggregates.py
+    group_zscore_outliers): events whose value sits more than 3 sample
+    standard deviations from their event_type's mean — the row-level
+    drill-down behind a drift alarm. Moments accumulate as DECIMAL(28,6)
+    so mean/stddev are partition-order independent."""
+    from doc_quality_check_spark.operators.aggregates import (
+        group_zscore_outliers,
+    )
+
+    ev = t(spark, sf, "events")
+    return group_zscore_outliers(
+        ev, "event_type", "event_id", "value", z_threshold=3.0
+    )
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+  HAVING count(*) > 1
+),
+st AS (
+  SELECT event_type, s1 / n AS m, sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+  FROM s
+)
+SELECT e.event_type, e.event_id, round(value, 4) AS value,
+       round((value - m) / sd, 4) AS z
+FROM events e JOIN (SELECT * FROM st WHERE sd > 0) st2 USING (event_type)
+WHERE value IS NOT NULL AND abs((value - m) / sd) > 3.0
+"""
+
+
 QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_lines": q_boilerplate_lines,
+    "weighted_sample": q_weighted_sample,
+    "zscore_outliers": q_zscore_outliers,
     "bm25_search": q_bm25_search,
     "skew_profile": q_skew_profile,
     "snapshot_diff": q_snapshot_diff,
@@ -2019,6 +2077,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_EXT: dict[str, str] = {
     "boilerplate_lines": SQL_BOILERPLATE_LINES,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "zscore_outliers": SQL_ZSCORE_OUTLIERS,
     "bm25_search": SQL_BM25_SEARCH,
     "skew_profile": SQL_SKEW_PROFILE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -99,3 +99,41 @@ def test_snapshot_diff_change_types(spark):
     # 1 unchanged, 2 unchanged (NULL = NULL is NOT a change)
     assert out == {(3, "changed"), (4, "removed"), (5, "added"),
                    (6, "changed")}
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from doc_quality_check_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    rows += [(900, 0.0), (901, None), (902, -5.0)]   # no sampling mass
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    picked = [r["doc_id"] for r in weighted_sample(df, "doc_id", "w", k=20).collect()]
+    assert len(picked) == 20
+    # 1000x-weight rows must dominate the sample
+    assert sum(1 for i in picked if i < 10) >= 8
+    assert not {900, 901, 902} & set(picked)
+    # deterministic under repartitioning
+    again = [r["doc_id"] for r in
+             weighted_sample(df.repartition(13), "doc_id", "w", k=20).collect()]
+    assert picked == again
+    # k beyond the positive-weight population returns exactly that population
+    allr = weighted_sample(df, "doc_id", "w", k=10_000).collect()
+    assert len(allr) == 200
+
+
+def test_group_zscore_outliers_semantics(spark):
+    from doc_quality_check_spark.operators.aggregates import (
+        group_zscore_outliers,
+    )
+
+    rows = (
+        [("a", i, 10.0) for i in range(20)] + [("a", 99, 500.0)]   # planted
+        + [("b", i, 7.0) for i in range(5)]                        # zero var
+        + [("c", 0, 1.0)]                                          # single
+        + [("a", 100, None)]                                       # NULL
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = group_zscore_outliers(df, "g", "id", "v", z_threshold=3.0).collect()
+    assert [(r["g"], r["id"]) for r in out] == [("a", 99)]
+    assert out[0]["z"] > 4                 # far out in its own group
+    assert out[0]["value"] == 500.0

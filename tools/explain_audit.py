@@ -187,6 +187,17 @@ def main() -> None:
           "FullOuter" in p and "BroadcastNestedLoopJoin" not in p
           and "CartesianProduct" not in p)
 
+    # 14. weighted_sample: pure projection + ordered take — no shuffle at all
+    p = plan_of(QUERIES["weighted_sample"](spark, SF))
+    audit("weighted_sample shuffle-free ordered take",
+          "TakeOrderedAndProject" in p and "Exchange hashpartitioning" not in p)
+
+    # 15. zscore_outliers: moments combine map-side; the stats table joins
+    # back via broadcast, never a shuffled join of the raw rows
+    p = plan_of(QUERIES["zscore_outliers"](spark, SF))
+    audit("zscore_outliers partial agg", "partial_count" in p)
+    audit("zscore_outliers broadcast stats join", "BroadcastHashJoin" in p)
+
     print("FAILURES:" if failures else "all plan audits pass", failures or "")
     spark.stop()
     sys.exit(1 if failures else 0)
