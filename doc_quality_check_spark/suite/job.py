@@ -63,6 +63,7 @@ class ValidationJob:
         input_files: list[str] | None = None,
         lineage: dict | None = None,
         formats: tuple[str, ...] = ("txt", "html", "json"),
+        _merge_prev: tuple[RunManifest, list[str]] | None = None,
     ) -> JobResult:
         # checks whose reference inputs are absent are pruned (never crash a
         # run for a missing side-table; the verdict simply isn't produced)
@@ -80,11 +81,18 @@ class ValidationJob:
 
         completed: list[str] = []
         prev = None
-        if resume:
+        if _merge_prev is not None:
+            # run_incremental: skip the given partitions and carry their
+            # verdicts/violations forward from the given COMPLETE run
+            prev, completed = _merge_prev
+        elif resume:
             prev = self.manifests.latest()
             if prev is not None and prev.status != "complete":
                 completed = self.manifests.completed_partitions(prev)
         m = self.manifests.start_run(suite, input_files=input_files)
+        if _merge_prev is not None and prev is not None:
+            m.input_lineage["incremental_from_run"] = prev.run_id
+            self.manifests.save(m)
         if lineage:
             # source lineage (Iceberg snapshot id / parquet file list) from
             # sources.iceberg.snapshot_lineage — the north rule's
@@ -187,6 +195,71 @@ class ValidationJob:
 
         self.manifests.finish_run(m, "complete")
         return JobResult(manifest=m, result=res, report_paths=paths)
+
+    # ------------------------------------------------------------------
+    def run_incremental(
+        self,
+        clips: DataFrame,
+        prev_clips: DataFrame,
+        id_col: str = "clip_id",
+        compare_cols: list[str] | None = None,
+        **run_kwargs,
+    ) -> JobResult:
+        """Incremental re-validation between two snapshots: diff ``clips``
+        (the new snapshot) against ``prev_clips`` (the snapshot the latest
+        COMPLETE run validated) with :func:`operators.joins.snapshot_diff`,
+        re-validate IN FULL only the partitions touched by added, changed,
+        or removed rows, and carry every untouched partition's verdicts and
+        violation rows forward from that run. At 10^12 rows a daily
+        snapshot touches a few partitions; the full-table re-run this
+        replaces is the dominant cost of continuous validation.
+
+        PARTITION granularity, not row granularity: every row check's
+        verdict aggregates per partition, so a partially re-validated
+        partition could not merge with its prior verdict. A partition that
+        lost rows (removed) is re-validated too — its counts changed even
+        though no surviving row did. Table-level (__global__) checks always
+        recompute on the full input, exactly as in resume. Falls back to a
+        plain full run when there is no prior complete run or the suite is
+        unpartitioned (the whole table is then one work unit).
+
+        ``compare_cols`` defaults to every column the snapshots share
+        except ``id_col`` (binary payloads compare by equality); prune it
+        to the checked subset to narrow the diff shuffle."""
+        from doc_quality_check_spark.operators.joins import snapshot_diff
+        from doc_quality_check_spark.suite.runner import part_key_col
+
+        prev_m = self.manifests.latest_complete()
+        part_cols = self.suite.partition_by
+        if prev_m is None or not part_cols:
+            return self.run(clips, resume=False, **run_kwargs)
+        if compare_cols is None:
+            shared = set(prev_clips.columns) & set(clips.columns)
+            compare_cols = sorted(shared - {id_col})
+        ids = snapshot_diff(prev_clips, clips, [id_col], compare_cols).select(
+            id_col
+        )
+        pk = part_key_col(part_cols).alias("part_key")
+        touched = {
+            r["part_key"]
+            for r in (
+                clips.join(ids, id_col, "left_semi").select(pk)
+                .union(prev_clips.join(ids, id_col, "left_semi").select(pk))
+                .distinct()
+                .collect()
+            )
+        }
+        unchanged = [
+            p
+            for p in self.manifests.completed_partitions(prev_m)
+            if p not in touched
+        ]
+        return self.run(
+            clips,
+            resume=False,
+            _merge_prev=(prev_m, unchanged),
+            **run_kwargs,
+        )
 
 
 def main(argv: list[str]) -> None:

@@ -86,6 +86,17 @@ class ManifestStore:
         with open(paths[-1]) as fh:
             return RunManifest(**json.load(fh))
 
+    def latest_complete(self) -> RunManifest | None:
+        """Most recent run that finished — the carry-forward base for
+        incremental re-validation (a crashed run's partial verdicts are
+        resumed by run(), never diffed against)."""
+        for path in reversed(self._paths()):
+            with open(path) as fh:
+                m = RunManifest(**json.load(fh))
+            if m.status == "complete":
+                return m
+        return None
+
     # ------------------------------------------------------------------
     def record_partitions(self, m: RunManifest, verdicts_rows: list[dict]) -> None:
         """Mark partitions complete with their verdict metrics."""

@@ -338,3 +338,85 @@ def test_anomaly_latest_run_attribution(tmp_path):
             "m": {"metric_value": 0.2}}}}}, f)
     v2 = detect_anomaly(store, "m", min_history=2)
     assert v2.is_anomaly and v2.run_id == 5
+
+
+def test_job_incremental_revalidates_only_touched_partitions(
+    spark, clips_dir, tmp_path
+):
+    """run_incremental: partitions untouched by the snapshot diff carry
+    their verdicts forward verbatim; partitions with changed OR removed
+    rows re-validate in full on the new snapshot."""
+    out = str(tmp_path / "job_inc")
+    base = (
+        load_clips(spark, clips_dir).drop("bytes").limit(800)
+        .dropDuplicates(["clip_id"])          # diff keys must be unique
+    )
+    old_p = str(tmp_path / "snap_old")
+    base.write.parquet(old_p)
+    old = spark.read.parquet(old_p)
+
+    parts = sorted(
+        r["part_key"] for r in old.select("part_key").distinct().collect()
+    )
+    assert len(parts) >= 3
+    mod_part, drop_part = parts[0], parts[1]
+    victims = [
+        r["clip_id"]
+        for r in old.filter(F.col("part_key") == mod_part)
+        .select("clip_id").limit(2).collect()
+    ]
+    drop_id = old.filter(F.col("part_key") == drop_part).select(
+        F.min("clip_id").alias("i")
+    ).collect()[0]["i"]
+    new_df = old.filter(F.col("clip_id") != drop_id).withColumn(
+        "dur_ms",
+        F.when(F.col("clip_id").isin(victims), F.lit(-5)).otherwise(
+            F.col("dur_ms")
+        ),
+    )
+    new_p = str(tmp_path / "snap_new")
+    new_df.write.parquet(new_p)
+    new = spark.read.parquet(new_p)
+
+    job = ValidationJob(_suite(), out)
+    jr1 = job.run(old, payload=False, resume=False)
+    assert jr1.manifest.status == "complete"
+    jr2 = job.run_incremental(new, old, id_col="clip_id", payload=False)
+
+    assert jr2.manifest.input_lineage["incremental_from_run"] == jr1.manifest.run_id
+    v1 = {
+        (r["part_key"], r["constraint_id"]): r
+        for r in jr1.result.verdicts.collect()
+    }
+    v2 = {
+        (r["part_key"], r["constraint_id"]): r
+        for r in jr2.result.verdicts.collect()
+    }
+    # full coverage of the new snapshot
+    assert {r["part_key"] for r in
+            new.select("part_key").distinct().collect()} <= {
+        k[0] for k in v2
+    }
+    # untouched partitions: metrics carried forward verbatim
+    for (pk, cid), r in v2.items():
+        if pk not in (mod_part, drop_part, GLOBAL_PART):
+            assert r["n_violations"] == v1[(pk, cid)]["n_violations"]
+            assert r["passed"] == v1[(pk, cid)]["passed"]
+    # the modified partition re-validated against the corrupted rows
+    assert v2[(mod_part, "dur_range")]["n_violations"] \
+        == v1[(mod_part, "dur_range")]["n_violations"] + 2
+    assert v2[(mod_part, "dur_range")]["passed"] is False
+    # the partition that LOST a row re-validated (count shrank by one)
+    assert v2[(drop_part, "dur_range")]["n_rows"] \
+        == v1[(drop_part, "dur_range")]["n_rows"] - 1
+    # violations table backs the new verdicts
+    got = jr2.result.violations.filter(
+        (F.col("part_key") == mod_part)
+        & (F.col("constraint_id") == "dur_range")
+    ).count()
+    assert got == v2[(mod_part, "dur_range")]["n_violations"]
+
+    # no prior complete run -> plain full run, no carry-forward lineage
+    job2 = ValidationJob(_suite(), str(tmp_path / "job_inc2"))
+    jr = job2.run_incremental(new, old, id_col="clip_id", payload=False)
+    assert "incremental_from_run" not in jr.manifest.input_lineage
