@@ -70,6 +70,38 @@ def synth_pcm(seed: int, sr_hz: int, dur_ms: int, silent: bool = False) -> np.nd
     return np.clip(x, -1.0, 1.0).astype(np.float32)
 
 
+def synth_speechlike_pcm(
+    seed: int,
+    sr_hz: int,
+    dur_ms: int,
+    segments: int = 8,
+    noise: float = 0.0,
+    noise_seed: int | None = None,
+) -> np.ndarray:
+    """NON-stationary deterministic PCM: ``segments`` tone segments with
+    per-segment seeded frequency/amplitude (speech-like spectral movement),
+    plus optional low-level additive noise keyed by ``noise_seed``. The
+    payload-near-dup fixture: :func:`synth_pcm`'s stationary sine mixture
+    ill-conditions temporal fingerprint bits (operators/audio_dedup.py
+    'conditioning caveat'); real audio moves spectrally, and so does this."""
+    rng = np.random.default_rng(seed)
+    n = max(segments, int(sr_hz * dur_ms / 1000))
+    seg = n // segments
+    t = np.arange(seg, dtype=np.float64) / sr_hz
+    f_hi = min(3500, sr_hz // 2 - 1)
+    x = np.concatenate([
+        rng.uniform(0.2, 0.5)
+        * np.sin(2 * np.pi * float(rng.integers(100, f_hi)) * t)
+        for _ in range(segments)
+    ])
+    if x.size < n:
+        x = np.pad(x, (0, n - x.size))
+    if noise:
+        nrng = np.random.default_rng(seed if noise_seed is None else noise_seed)
+        x = x + noise * nrng.standard_normal(x.size)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
+
+
 def encode_wav_pcm16(pcm: np.ndarray, sr_hz: int) -> bytes:
     data = (np.clip(pcm, -1, 1) * 32767.0).astype("<i2").tobytes()
     hdr = struct.pack(

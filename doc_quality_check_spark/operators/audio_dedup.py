@@ -1,0 +1,173 @@
+"""Audio near-duplicate detection via spectral fingerprints + banded LSH.
+
+The audio analog of the text near-dup family (operators/dedup.py): a
+Haitsma–Kalker-style 64-bit fingerprint — signs of time/frequency
+band-energy differences — computed once per clip in an Arrow-batched
+pandas UDF, then paired by the same pigeonhole block equi-join that
+:func:`doc_quality_check_spark.operators.dedup.simhash_pairs` uses, with
+an exact Hamming verify (`bit_count(a XOR b)`) on candidates only.
+
+Reference analog: none (beyond-parity LLM-pipeline component) — the
+reference dedupes documents by content heuristics only; a training-data
+pipeline over audio needs payload-level near-dup (same recording,
+re-encoded / re-leveled / lightly noised) that metadata equality misses.
+
+Why this survives 100 TB:
+- the fingerprint pass is the SAME single decode the suite already pays
+  (one pandas-UDF scan, Arrow-batched, numpy per clip — one rfft over the
+  frame-stacked matrix per clip, no per-sample Python);
+- pairing never self-joins the corpus: candidates come from an equi-join
+  on (block_idx, block_value) — with ``max_hamming+1`` blocks, pigeonhole
+  guarantees every qualifying pair shares an identical block — and the
+  Hamming verify runs JVM-side on the candidate set only;
+- the fingerprint is amplitude-invariant (global gain scales every band
+  energy by the same factor; difference SIGNS are unchanged), so
+  re-leveled copies collide exactly.
+
+Degenerate payloads: silence (and any spectrally-flat-enough clip whose
+band differences are all ~0) fingerprints to 0, so all-silent clips pair
+with each other — the desired curation outcome (silence is fungible).
+Undecodable payloads fingerprint to NULL and are excluded from pairing
+(the suite's payload_decode check already reports them).
+
+Conditioning caveat: the HK bits are signs of TEMPORAL band-energy
+differences, well-conditioned exactly when the spectrum moves over time —
+which real speech/music does. A perfectly STATIONARY signal (a steady
+test tone) makes every difference ~0 and the bits float32-coin-flips;
+such content should be deduped by the exact-hash path instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+from doc_quality_check_spark.functions.audio import _hann, decode_payload
+
+# 9 time frames x 9 log-spaced bands -> (9-1) x (9-1) = 64 difference bits
+AFP_FRAMES = 9
+AFP_BANDS = 9
+AFP_BITS = (AFP_FRAMES - 1) * (AFP_BANDS - 1)
+AFP_F_LO = 100.0
+AFP_F_HI = 4000.0
+
+
+def audio_fingerprint_pcm(
+    pcm: np.ndarray, sr: int, frames: int = AFP_FRAMES, bands: int = AFP_BANDS
+) -> int | None:
+    """64-bit spectral fingerprint of one decoded clip, or None when the
+    clip is too short to frame (< 2 samples per frame) or sr is unusable.
+
+    bit(f,b) = sign of the time-difference of the frequency-difference of
+    log-band energies: E(f,b)−E(f,b+1) − (E(f−1,b)−E(f−1,b+1)) > 0 — the
+    Haitsma–Kalker (ISMIR 2002) robust-hash bit, invariant to global gain
+    and robust to low-level additive noise."""
+    if sr <= 0 or pcm.size < 2 * frames:
+        return None
+    flen = pcm.size // frames
+    x = pcm[: flen * frames].astype(np.float64).reshape(frames, flen)
+    x = x * _hann(flen)
+    spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(flen, 1.0 / sr)
+    f_hi = min(AFP_F_HI, sr / 2.0)
+    f_lo = min(AFP_F_LO, f_hi / 4.0)
+    edges = np.geomspace(f_lo, f_hi, bands + 1)
+    idx = np.searchsorted(freqs, edges)
+    e = np.zeros((frames, bands))
+    for b in range(bands):
+        if idx[b] < idx[b + 1]:
+            e[:, b] = spec[:, idx[b] : idx[b + 1]].sum(axis=1)
+    d = e[:, :-1] - e[:, 1:]          # frequency difference
+    bits = (d[1:] - d[:-1]) > 0       # time difference of that, sign
+    val = 0
+    for bit in bits.ravel():
+        val = (val << 1) | int(bit)
+    if val >= 1 << 63:                # wrap into a signed Spark long
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    frames: int = AFP_FRAMES,
+    bands: int = AFP_BANDS,
+) -> DataFrame:
+    """(id, afp) — one Arrow-batched decode+fingerprint pass. afp is NULL
+    for undecodable / too-short payloads (in-band, never a job failure —
+    the same error discipline as the metrics UDF, functions/audio.py)."""
+
+    @F.pandas_udf(LongType())
+    def _afp(payloads: pd.Series, codecs: pd.Series) -> pd.Series:
+        out: list[int | None] = []
+        for buf, codec in zip(payloads, codecs):
+            try:
+                sr, pcm = decode_payload(buf, codec or "")
+                out.append(audio_fingerprint_pcm(pcm, sr, frames, bands))
+            except Exception:
+                out.append(None)
+        return pd.Series(pd.array(out, dtype="Int64"))
+
+    return df.select(
+        F.col(id_col), _afp(F.col(bytes_col), F.col(codec_col)).alias("afp")
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    max_hamming: int = 7,
+    frames: int = AFP_FRAMES,
+    bands: int = AFP_BANDS,
+) -> DataFrame:
+    """Near-duplicate clip pairs (id_a, id_b, hamming) with fingerprint
+    Hamming distance <= max_hamming.
+
+    Candidates come from an equi-join on ``max_hamming + 1`` bit blocks of
+    the fingerprint: if hamming(a,b) <= max_hamming, at most max_hamming
+    blocks differ, so at least one of the max_hamming+1 blocks is identical
+    (pigeonhole) — the block join proposes every qualifying pair without an
+    all-pairs scan, exactly as :func:`dedup.simhash_pairs` does for text."""
+    n_blocks = max_hamming + 1
+    assert 2 <= n_blocks <= 64, "need 2..64 blocks over a 64-bit fingerprint"
+    width = 64 // n_blocks
+    fp = audio_fingerprints(df, id_col, bytes_col, codec_col, frames, bands)
+    fp = fp.filter(F.col("afp").isNotNull())
+    blocks = []
+    for bi in range(n_blocks):
+        shift = bi * width
+        # last block absorbs the 64 % n_blocks remainder bits
+        w = 64 - shift if bi == n_blocks - 1 else width
+        mask = (1 << w) - 1
+        blocks.append(
+            F.struct(
+                F.lit(bi).alias("blk"),
+                F.shiftrightunsigned("afp", shift)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    long = fp.select(
+        F.col(id_col), "afp", F.explode(F.array(*blocks)).alias("e")
+    ).select(
+        F.col(id_col), "afp", F.col("e.blk").alias("blk"), F.col("e.val").alias("val")
+    )
+    a = long.select(F.col(id_col).alias("id_a"), F.col("afp").alias("fp_a"), "blk", "val")
+    b = long.select(F.col(id_col).alias("id_b"), F.col("afp").alias("fp_b"), "blk", "val")
+    return (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from doc_quality_check_spark.functions.classify import (
@@ -1393,6 +1394,46 @@ def q_iou_dedupe(spark, sf):
     return iou_dedupe_segments(segs)
 
 
+def q_audio_neardup(spark, sf):
+    """Payload-level audio near-dup via spectral fingerprints + banded
+    Hamming LSH (rows-only driver check: the PCM decode + FFT fingerprint
+    has no SQL form — semantics pinned by tests/test_audio_dedup.py).
+    Clips are synthesized deterministically EXECUTOR-side from the events
+    table's user ids: content seed ``user_id % 30`` gives several 'takes'
+    of the same recording per group, each with its own low-level noise
+    keyed by user_id — the near-dup structure the fingerprint must
+    recover. Candidates come from the pigeonhole block equi-join
+    (operators/audio_dedup.py), never an all-pairs scan."""
+    from doc_quality_check_spark.functions.audio import (
+        encode_wav_pcm16,
+        synth_speechlike_pcm,
+    )
+    from doc_quality_check_spark.operators.audio_dedup import audio_neardup_pairs
+
+    users = t(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("uid")
+    ).distinct()
+
+    @F.pandas_udf("binary")
+    def _synth(uids: pd.Series) -> pd.Series:
+        return pd.Series([
+            encode_wav_pcm16(
+                synth_speechlike_pcm(
+                    int(u) % 30, 8000, 500, noise=0.002, noise_seed=int(u)
+                ),
+                8000,
+            )
+            for u in uids
+        ])
+
+    clips = users.select(
+        F.concat(F.lit("clip_"), F.col("uid")).alias("clip_id"),
+        _synth("uid").alias("bytes"),
+        F.lit("pcm_s16le").alias("codec"),
+    )
+    return audio_neardup_pairs(clips).orderBy("id_a", "id_b")
+
+
 def q_heavy_hitters(spark, sf):
     """Exact token heavy hitters over documents (the exact baseline a
     count-min sketch approximates at scale)."""
@@ -2064,6 +2105,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": q_running_total,
     "token_budget": q_token_budget,
     "iou_dedupe": q_iou_dedupe,
+    "audio_neardup": q_audio_neardup,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "self_drift": q_self_drift,

@@ -198,6 +198,14 @@ def main() -> None:
     audit("zscore_outliers partial agg", "partial_count" in p)
     audit("zscore_outliers broadcast stats join", "BroadcastHashJoin" in p)
 
+    # 21. audio near-dup: candidates from the block equi-join, never a
+    # fingerprint cross product
+    p = plan_of(QUERIES["audio_neardup"](spark, SF))
+    audit("audio_neardup no cartesian", "CartesianProduct" not in p
+          and "BroadcastNestedLoopJoin" not in p)
+    audit("audio_neardup block equi-join",
+          "SortMergeJoin" in p or "BroadcastHashJoin" in p)
+
     print("FAILURES:" if failures else "all plan audits pass", failures or "")
     spark.stop()
     sys.exit(1 if failures else 0)
