@@ -195,6 +195,81 @@ def drift_ks(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     return j.select(F.abs(cdf_c - cdf_b).alias("d")).agg(F.max("d").alias("ks"))
 
 
+def drift_w1(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between two NUMERIC-bucket
+    histograms: W1 = Σ |CDF_p(x_i) − CDF_q(x_i)| · (x_{i+1} − x_i) over the
+    merged sorted bucket values — the exact 1-D EMD between the two
+    empirical distributions, in bucket-value units.
+
+    Complements the other two drift statistics: PSI is mass-ratio-based and
+    blind to bucket ORDER; KS is the max CDF gap and blind to how FAR the
+    mass moved; W1 integrates gap × distance, so a shift from 44100 to
+    48000 Hz scores very differently from one to 8000 Hz. Non-numeric
+    buckets are excluded (no metric space); an empty comparable support
+    yields NULL, identical single-point support yields 0. Both inputs are
+    tiny aggregates — the join broadcasts, the window is over ≤ |buckets|
+    rows."""
+    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
+    joined = (
+        cur.join(base, "bucket", "full_outer")
+        .fillna(0, ["c_cnt", "b_cnt"])
+        .withColumn("x", F.expr("try_cast(bucket AS double)"))
+        .filter(F.col("x").isNotNull())
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
+    j = joined.crossJoin(F.broadcast(tot))
+    cdf_c = F.try_divide(F.sum("c_cnt").over(wc), F.col("ct"))
+    cdf_b = F.try_divide(F.sum("b_cnt").over(wc), F.col("bt"))
+    step = j.select(
+        F.col("x"),
+        (F.abs(cdf_c - cdf_b)
+         * (F.lead("x").over(Window.orderBy("x")) - F.col("x"))).alias("a"),
+    )
+    # last row's lead is NULL (sum skips it; both CDFs are 1 there anyway);
+    # single-point support -> 0, empty support -> NULL
+    return step.agg(
+        F.when(F.count("*") > 0, F.coalesce(F.sum("a"), F.lit(0.0))).alias("w1")
+    )
+
+
+def drift_chi2(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
+    """Two-sample chi-squared homogeneity statistic over a CATEGORICAL
+    histogram pair → (chi2, cramers_v, dof). Expected counts come from the
+    pooled distribution; Cramér's V = sqrt(chi2 / N) for the 2×k table — a
+    scale-free [0,1] drift score thresholdable independently of table size
+    (raw chi2 grows linearly with N at a fixed drift level, so any fixed
+    chi2 threshold breaks on a 100× bigger snapshot)."""
+    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
+    joined = cur.join(base, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+    tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
+    j = joined.crossJoin(F.broadcast(tot))
+    pooled = F.try_divide(
+        (F.col("c_cnt") + F.col("b_cnt")).cast("double"),
+        (F.col("ct") + F.col("bt")).cast("double"),
+    )
+    e1 = pooled * F.col("ct").cast("double")
+    e2 = pooled * F.col("bt").cast("double")
+    d1 = F.col("c_cnt").cast("double") - e1
+    d2 = F.col("b_cnt").cast("double") - e2
+    term = (
+        F.when(e1 > 0, d1 * d1 / e1).otherwise(F.lit(0.0))
+        + F.when(e2 > 0, d2 * d2 / e2).otherwise(F.lit(0.0))
+    )
+    agg = j.agg(
+        F.sum(term).alias("chi2"),
+        F.max(F.col("ct") + F.col("bt")).alias("n"),
+        (F.count("*") - F.lit(1)).cast("long").alias("dof"),
+    )
+    return agg.select(
+        "chi2",
+        F.sqrt(F.try_divide(F.col("chi2"), F.col("n").cast("double"))).alias("cramers_v"),
+        "dof",
+    )
+
+
 # ---------------------------------------------------------------------------
 # t-digest approximate quantiles (north star: "approx-quantile via t-digest")
 # ---------------------------------------------------------------------------

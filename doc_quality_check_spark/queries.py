@@ -16,7 +16,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from doc_quality_check_spark.operators.aggregates import drift_ks, drift_psi
+from doc_quality_check_spark.operators.aggregates import (
+    drift_chi2,
+    drift_ks,
+    drift_psi,
+    drift_w1,
+)
 from doc_quality_check_spark.operators.joins import (
     duplicate_keys,
     frequency_enrich,
@@ -448,6 +453,71 @@ SELECT round(max(abs(cc - cb)), 4) AS ks FROM cdf
 """
 
 
+def q_drift_w1(spark, sf):
+    """A12 drift, Wasserstein-1: EMD between the click/view value-bucket
+    distributions — PSI is bucket-order-blind and KS magnitude-blind; W1
+    weighs how FAR the mass moved (operators/aggregates.py drift_w1)."""
+    ev = t(spark, sf, "events")
+    return drift_w1(_value_hist(ev, "click"), _value_hist(ev, "view")).select(
+        F.round("w1", 4).alias("w1")
+    )
+
+
+SQL_DRIFT_W1 = """
+WITH cur AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1),
+base AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1),
+j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
+tot AS (SELECT sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM j),
+cdf AS (SELECT bucket,
+               sum(c_cnt) OVER (ORDER BY bucket) * 1.0 / ct AS cc,
+               sum(b_cnt) OVER (ORDER BY bucket) * 1.0 / bt AS cb
+        FROM j, tot),
+step AS (SELECT abs(cc - cb) * (lead(bucket) OVER (ORDER BY bucket) - bucket) AS a
+         FROM cdf)
+SELECT round(CASE WHEN count(*) > 0 THEN coalesce(sum(a), 0.0) END, 4) AS w1
+FROM step
+"""
+
+
+def q_drift_chi2(spark, sf):
+    """A12 drift, chi-squared homogeneity + Cramér's V over the same cohort
+    histograms — the categorical-column drift statistic (V is scale-free,
+    so one threshold works at any table size)."""
+    ev = t(spark, sf, "events")
+    return drift_chi2(_value_hist(ev, "click"), _value_hist(ev, "view")).select(
+        F.round("chi2", 4).alias("chi2"),
+        F.round("cramers_v", 4).alias("cramers_v"),
+        F.col("dof"),
+    )
+
+
+SQL_DRIFT_CHI2 = """
+WITH cur AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1),
+base AS (SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1),
+j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
+tot AS (SELECT sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM j),
+e AS (SELECT c_cnt, b_cnt, ct, bt,
+             (c_cnt + b_cnt) * 1.0 / (ct + bt) * ct AS e1,
+             (c_cnt + b_cnt) * 1.0 / (ct + bt) * bt AS e2
+      FROM j, tot)
+SELECT round(sum(term), 4) AS chi2,
+       round(sqrt(sum(term) / max(ct + bt)), 4) AS cramers_v,
+       CAST(count(*) - 1 AS BIGINT) AS dof
+FROM (SELECT ct, bt,
+             CASE WHEN e1 > 0 THEN (c_cnt - e1) * (c_cnt - e1) / e1 ELSE 0.0 END
+           + CASE WHEN e2 > 0 THEN (b_cnt - e2) * (b_cnt - e2) / e2 ELSE 0.0 END AS term
+      FROM e) z
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -472,6 +542,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "union_dedupe": q_union_dedupe,
     "drift_psi": q_drift_psi,
     "drift_ks": q_drift_ks,
+    "drift_w1": q_drift_w1,
+    "drift_chi2": q_drift_chi2,
 }
 
 from doc_quality_check_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
@@ -497,6 +569,8 @@ ORACLES: dict[str, str] = {
     "union_dedupe": SQL_UNION_DEDUPE,
     "drift_psi": SQL_DRIFT_PSI,
     "drift_ks": SQL_DRIFT_KS,
+    "drift_w1": SQL_DRIFT_W1,
+    "drift_chi2": SQL_DRIFT_CHI2,
 }
 
 ORACLES.update(ORACLES_EXT)

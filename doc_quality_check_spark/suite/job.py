@@ -70,7 +70,7 @@ class ValidationJob:
         effective = [
             c for c in self.suite.checks
             if not (c.kind == "referential" and catalog is None)
-            and not (c.kind in ("drift_psi", "drift_ks") and baseline is None)
+            and not (c.kind.startswith("drift_") and baseline is None)
         ]
         suite = self.suite
         if len(effective) != len(suite.checks):

@@ -518,7 +518,7 @@ class SuiteRunner:
                 val is not None
                 and p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
             )
-        elif check.kind in ("drift_psi", "drift_ks"):
+        elif check.kind in ("drift_psi", "drift_ks", "drift_w1", "drift_chi2"):
             if baseline is None:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")
             cur = histogram(df, check.column)
@@ -526,9 +526,24 @@ class SuiteRunner:
             if check.kind == "drift_psi":
                 metric = float(drift_psi(cur, base).first()["psi"])
                 passed = metric <= float(p.get("max_psi", 0.2))
-            else:
+            elif check.kind == "drift_ks":
                 metric = float(drift_ks(cur, base).first()["ks"])
                 passed = metric <= float(p.get("max_ks", 0.1))
+            elif check.kind == "drift_w1":
+                from doc_quality_check_spark.operators.aggregates import drift_w1
+
+                val = drift_w1(cur, base).first()["w1"]
+                # NULL = no numeric bucket support to compare — the bound
+                # cannot be attested, fail (same rule as quantile_range)
+                metric = float(val) if val is not None else 0.0
+                passed = val is not None and val <= float(p.get("max_w1", 1.0))
+            else:
+                from doc_quality_check_spark.operators.aggregates import drift_chi2
+
+                row = drift_chi2(cur, base).first()
+                val = row["cramers_v"]
+                metric = float(val) if val is not None else 0.0
+                passed = val is not None and val <= float(p.get("max_v", 0.1))
             n_viol = 0
         else:
             raise ValueError(f"unknown table-level check: {check.kind}")

@@ -17,7 +17,8 @@ Row-level (compile to a boolean ``Column``; failures become violation rows):
 Table-level (evaluated by the runner as aggregates / joins; schema_match
 is pure metadata — no job):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
-  drift_ks | distinct_range | quantile_range | schema_match``
+  drift_ks | drift_w1 | drift_chi2 | distinct_range | quantile_range |
+  schema_match``
 
 Default thresholds mirror the reference: readability threshold 15
 (/root/reference/test_readability.py:15), emptiness threshold 0.5%
@@ -54,6 +55,8 @@ TABLE_LEVEL_KINDS = {
     "completeness_min",
     "drift_psi",
     "drift_ks",
+    "drift_w1",
+    "drift_chi2",
     "distinct_range",
     "quantile_range",
     "schema_match",

@@ -60,6 +60,78 @@ def test_drift_snapshot_roundtrip(spark, clips_dir):
     res.unpersist()
 
 
+def test_drift_w1_closed_form(spark):
+    from doc_quality_check_spark.operators.aggregates import drift_w1
+
+    def hist(d):
+        return spark.createDataFrame(
+            [(str(k), v) for k, v in d.items()], "bucket string, count long"
+        )
+
+    # point mass moved distance 3 -> W1 = 3
+    assert drift_w1(hist({0: 1}), hist({3: 1})).first()["w1"] == pytest.approx(3.0)
+    # split masses: move 0.5 from 0->1 and 0.5 from 2->1 -> W1 = 1.0
+    assert drift_w1(hist({0: 1, 2: 1}), hist({1: 2})).first()["w1"] == pytest.approx(1.0)
+    # identical single-point support -> 0, not NULL
+    assert drift_w1(hist({5: 7}), hist({5: 3})).first()["w1"] == 0.0
+    # no numeric support -> NULL (bound cannot be attested)
+    assert drift_w1(hist({"pcm": 1}), hist({"flac": 1})).first()["w1"] is None
+
+
+def test_drift_chi2_closed_form(spark):
+    from doc_quality_check_spark.operators.aggregates import drift_chi2
+
+    def hist(d):
+        return spark.createDataFrame(
+            [(str(k), v) for k, v in d.items()], "bucket string, count long"
+        )
+
+    # 2x2 table: (30,10) vs (10,30) -> chi2 = 20, V = sqrt(20/80) = 0.5
+    r = drift_chi2(hist({"a": 30, "b": 10}), hist({"a": 10, "b": 30})).first()
+    assert r["chi2"] == pytest.approx(20.0)
+    assert r["cramers_v"] == pytest.approx(0.5)
+    assert r["dof"] == 1
+    r0 = drift_chi2(hist({"a": 4, "b": 6}), hist({"a": 4, "b": 6})).first()
+    assert r0["chi2"] == pytest.approx(0.0)
+    assert r0["cramers_v"] == pytest.approx(0.0)
+
+
+def test_drift_w1_chi2_suite_roundtrip(spark, clips_dir):
+    """drift_w1/drift_chi2 as declarative check kinds: self-baseline → zero
+    drift passes; a baseline missing one codec → chi2 drift fails."""
+    from doc_quality_check_spark.operators.aggregates import snapshot_histograms
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(800)
+    snap = snapshot_histograms(clips, ["sr_hz", "codec"])
+    suite = CheckSuite(
+        name="drift_w1_chi2", partition_by=["part_key"],
+        checks=[
+            Check("sr_w1", "drift_w1", "sr_hz",
+                  {"baseline_table": "snap", "max_w1": 0.01}),
+            Check("codec_chi2", "drift_chi2", "codec",
+                  {"baseline_table": "snap", "max_v": 0.01}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, baseline=snap, payload=False)
+    v = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert v["sr_w1"]["passed"] and v["sr_w1"]["metric_value"] < 1e-9
+    assert v["codec_chi2"]["passed"] and v["codec_chi2"]["metric_value"] < 1e-9
+    res.unpersist()
+
+    shifted = snapshot_histograms(
+        clips.filter(F.col("codec") != "flac"), ["codec"]
+    )
+    res2 = SuiteRunner(
+        CheckSuite(name="drift_fail", partition_by=["part_key"], checks=[
+            Check("codec_chi2", "drift_chi2", "codec",
+                  {"baseline_table": "snap", "max_v": 0.01}),
+        ])
+    ).run(clips, baseline=shifted, payload=False)
+    r = {x["constraint_id"]: x for x in res2.verdicts.collect()}["codec_chi2"]
+    assert r["passed"] is False and r["metric_value"] > 0.01
+    res2.unpersist()
+
+
 def test_multi_column_partition_verdicts(spark, clips_dir):
     """partition_by with several columns collapses into one '/'-joined
     part_key rather than silently dropping columns."""
