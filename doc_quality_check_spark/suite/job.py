@@ -28,7 +28,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from doc_quality_check_spark.suite.manifest import ManifestStore, RunManifest
+from doc_quality_check_spark.suite.manifest import (
+    ManifestStore,
+    RunManifest,
+    schema_evolution_diff,
+)
 from doc_quality_check_spark.suite.report import (
     export_json,
     render_html,
@@ -102,6 +106,24 @@ class ValidationJob:
         if completed:
             m.input_lineage["resumed_from_partitions"] = sorted(completed)
             self.manifests.save(m)
+
+        # schema-evolution guard: record this run's input schema and diff it
+        # against the last COMPLETE run's, so a snapshot that silently
+        # gained/lost/re-typed a column shows in the manifest trail even when
+        # every value-level check still passes (pure metadata, no Spark job)
+        cur_schema = {f.name: f.dataType.simpleString() for f in clips.schema.fields}
+        m.input_lineage["schema"] = cur_schema
+        base_m = (
+            prev if (prev is not None and prev.status == "complete")
+            else self.manifests.latest_complete()
+        )
+        prev_schema = base_m.input_lineage.get("schema") if base_m else None
+        if prev_schema is not None:
+            m.input_lineage["schema_evolution"] = {
+                "vs_run": base_m.run_id,
+                **schema_evolution_diff(prev_schema, cur_schema),
+            }
+        self.manifests.save(m)
 
         runner = SuiteRunner(suite)
         t_run = time.perf_counter()

@@ -20,6 +20,25 @@ import time
 from dataclasses import dataclass, field
 
 
+def schema_evolution_diff(prev: dict[str, str], cur: dict[str, str]) -> dict:
+    """Column-level diff between two recorded input schemas → {added,
+    removed, type_changed, drifted}. Pure metadata (the recorded
+    name→simpleString maps) — no Spark job. The job records this against
+    the last COMPLETE run so a snapshot that silently gained, lost, or
+    re-typed a column is visible in the manifest trail even when every
+    value-level check still passes; hard-gate specific columns with a
+    ``schema_match`` check."""
+    added = [c for c in cur if c not in prev]
+    removed = [c for c in prev if c not in cur]
+    changed = {c: [prev[c], cur[c]] for c in cur if c in prev and prev[c] != cur[c]}
+    return {
+        "added": added,
+        "removed": removed,
+        "type_changed": changed,
+        "drifted": bool(added or removed or changed),
+    }
+
+
 @dataclass
 class RunManifest:
     run_id: int

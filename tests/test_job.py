@@ -340,6 +340,35 @@ def test_anomaly_latest_run_attribution(tmp_path):
     assert v2.is_anomaly and v2.run_id == 5
 
 
+def test_job_schema_evolution_recorded(spark, clips_dir, tmp_path):
+    """Each run records its input schema; a later run diffs against the
+    last COMPLETE run and records added/removed/re-typed columns."""
+    out = str(tmp_path / "job_schema")
+    base = load_clips(spark, clips_dir).drop("bytes").limit(200)
+    job = ValidationJob(_suite(), out)
+    jr1 = job.run(base, payload=False, resume=False)
+    assert jr1.manifest.input_lineage["schema"]["sr_hz"] == "int"
+    assert "schema_evolution" not in jr1.manifest.input_lineage  # first run
+
+    evolved = (
+        base.drop("transcript")
+        .withColumn("sr_hz", F.col("sr_hz").cast("long"))
+        .withColumn("speaker", F.lit("spk0"))
+    )
+    jr2 = job.run(evolved, payload=False, resume=False)
+    ev = jr2.manifest.input_lineage["schema_evolution"]
+    assert ev["vs_run"] == jr1.manifest.run_id
+    assert ev["added"] == ["speaker"]
+    assert ev["removed"] == ["transcript"]
+    assert ev["type_changed"] == {"sr_hz": ["int", "bigint"]}
+    assert ev["drifted"] is True
+
+    # identical schema -> recorded as not drifted
+    jr3 = job.run(evolved, payload=False, resume=False)
+    assert jr3.manifest.input_lineage["schema_evolution"]["drifted"] is False
+    assert jr3.manifest.input_lineage["schema_evolution"]["vs_run"] == jr2.manifest.run_id
+
+
 def test_job_incremental_revalidates_only_touched_partitions(
     spark, clips_dir, tmp_path
 ):
