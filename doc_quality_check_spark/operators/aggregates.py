@@ -195,6 +195,37 @@ def drift_ks(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     return j.select(F.abs(cdf_c - cdf_b).alias("d")).agg(F.max("d").alias("ks"))
 
 
+def drift_psi_by_group(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    group_col: str = "grp",
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Per-group PSI → (group, psi) from two GROUPED histograms
+    (group, bucket, count), all groups in one plan.
+
+    The scale path for per-Iceberg-partition drift: the P-partition drift
+    scan is one grouped aggregate + one (group, bucket) equi-join + one
+    group window over histogram-sized data — NOT a driver loop of P global
+    :func:`drift_psi` calls, which would launch P jobs and P shuffles (the
+    anti-pattern at P in the thousands). Groups missing from one side get
+    the epsilon floor, same as missing buckets in the global form."""
+    cur = current_hist.groupBy(group_col, "bucket").agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy(group_col, "bucket").agg(F.sum("count").alias("b_cnt"))
+    j = (
+        cur.join(base, [group_col, "bucket"], "full_outer")
+        .fillna(0, ["c_cnt", "b_cnt"])
+    )
+    w = Window.partitionBy(group_col)
+    p = F.greatest(F.try_divide(F.col("c_cnt"), F.sum("c_cnt").over(w)), F.lit(epsilon))
+    q = F.greatest(F.try_divide(F.col("b_cnt"), F.sum("b_cnt").over(w)), F.lit(epsilon))
+    return (
+        j.select(group_col, ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy(group_col)
+        .agg(F.sum("term").alias("psi"))
+    )
+
+
 def drift_w1(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     """Wasserstein-1 (earth mover's) distance between two NUMERIC-bucket
     histograms: W1 = Σ |CDF_p(x_i) − CDF_q(x_i)| · (x_{i+1} − x_i) over the

@@ -20,6 +20,7 @@ from doc_quality_check_spark.operators.aggregates import (
     drift_chi2,
     drift_ks,
     drift_psi,
+    drift_psi_by_group,
     drift_w1,
 )
 from doc_quality_check_spark.operators.joins import (
@@ -483,6 +484,54 @@ FROM step
 """
 
 
+def q_drift_psi_by_group(spark, sf):
+    """A12 drift at partition granularity: PSI per user cohort in ONE plan
+    (grouped histograms + (group,bucket) equi-join + group window) — the
+    per-Iceberg-partition drift scan, not a driver loop of per-group jobs."""
+    ev = t(spark, sf, "events")
+
+    def ghist(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                (F.col("user_id") % 10).alias("grp"),
+                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+            )
+            .agg(F.count("*").alias("count"))
+        )
+
+    return (
+        drift_psi_by_group(ghist("click"), ghist("view"), "grp")
+        .select("grp", F.round("psi", 4).alias("psi"))
+        .orderBy("grp")
+    )
+
+
+SQL_DRIFT_PSI_BY_GROUP = """
+WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                    count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
+             coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base
+        ON cur.grp = base.grp AND cur.bucket = base.bucket),
+t AS (SELECT grp, c_cnt, b_cnt,
+             sum(c_cnt) OVER (PARTITION BY grp) AS ct,
+             sum(b_cnt) OVER (PARTITION BY grp) AS bt
+      FROM j)
+SELECT grp, round(sum((p - q) * ln(p / q)), 4) AS psi
+FROM (SELECT grp, greatest(c_cnt * 1.0 / ct, 1e-6) AS p,
+             greatest(b_cnt * 1.0 / bt, 1e-6) AS q
+      FROM t) z
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def q_drift_chi2(spark, sf):
     """A12 drift, chi-squared homogeneity + Cramér's V over the same cohort
     histograms — the categorical-column drift statistic (V is scale-free,
@@ -544,6 +593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_ks": q_drift_ks,
     "drift_w1": q_drift_w1,
     "drift_chi2": q_drift_chi2,
+    "drift_psi_by_group": q_drift_psi_by_group,
 }
 
 from doc_quality_check_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
@@ -571,6 +621,7 @@ ORACLES: dict[str, str] = {
     "drift_ks": SQL_DRIFT_KS,
     "drift_w1": SQL_DRIFT_W1,
     "drift_chi2": SQL_DRIFT_CHI2,
+    "drift_psi_by_group": SQL_DRIFT_PSI_BY_GROUP,
 }
 
 ORACLES.update(ORACLES_EXT)

@@ -96,6 +96,35 @@ def test_drift_chi2_closed_form(spark):
     assert r0["cramers_v"] == pytest.approx(0.0)
 
 
+def test_drift_psi_by_group_matches_global_per_group(spark):
+    """Per-group PSI from the single-plan grouped operator equals running
+    the global drift_psi once per group."""
+    from doc_quality_check_spark.operators.aggregates import (
+        drift_psi,
+        drift_psi_by_group,
+    )
+
+    rng = np.random.default_rng(11)
+    rows_c = [(int(g), str(rng.integers(0, 6)), int(rng.integers(1, 40)))
+              for g in range(3) for _ in range(12)]
+    rows_b = [(int(g), str(rng.integers(0, 6)), int(rng.integers(1, 40)))
+              for g in range(3) for _ in range(12)]
+    cur = spark.createDataFrame(rows_c, "grp int, bucket string, count long")
+    base = spark.createDataFrame(rows_b, "grp int, bucket string, count long")
+    got = {r["grp"]: r["psi"]
+           for r in drift_psi_by_group(cur, base, "grp").collect()}
+    assert set(got) == {0, 1, 2}
+    for g in range(3):
+        want = drift_psi(
+            cur.filter(F.col("grp") == g).select("bucket", "count"),
+            base.filter(F.col("grp") == g).select("bucket", "count"),
+        ).first()["psi"]
+        assert got[g] == pytest.approx(want, rel=1e-9)
+    # identical grouped histograms -> zero drift in every group
+    z = drift_psi_by_group(cur, cur, "grp").collect()
+    assert all(abs(r["psi"]) < 1e-12 for r in z)
+
+
 def test_drift_w1_chi2_suite_roundtrip(spark, clips_dir):
     """drift_w1/drift_chi2 as declarative check kinds: self-baseline → zero
     drift passes; a baseline missing one codec → chi2 drift fails."""
