@@ -68,17 +68,28 @@ def histogram(df: DataFrame, column: str, as_string: bool = True) -> DataFrame:
     return df.groupBy(b.alias("bucket")).agg(F.count("*").alias("count"))
 
 
-def snapshot_histograms(df: DataFrame, columns: list[str]) -> DataFrame:
+def snapshot_histograms(
+    df: DataFrame, columns: list[str], group_col: str | None = None
+) -> DataFrame:
     """Baseline-snapshot writer for the drift checks (A12): one pass per
     column (unioned; each is a tiny aggregate) producing the
     (metric, bucket, count) layout the runner's drift checks consume.
-    A run's snapshot becomes the next run's baseline — self-drift is ~0."""
+    A run's snapshot becomes the next run's baseline — self-drift is ~0.
+
+    ``group_col`` (e.g. ``part_key``) adds that column to every histogram
+    row, producing the GROUPED (group, metric, bucket, count) layout the
+    per-partition drift check consumes (runner ``per_partition`` param +
+    :func:`drift_psi_by_group`)."""
     parts = []
     for c in columns:
+        keys = ([F.col(group_col)] if group_col else []) + [
+            F.col(c).cast("string").alias("bucket")
+        ]
+        head = ([group_col] if group_col else []) + [F.lit(c).alias("metric")]
         parts.append(
-            df.groupBy(F.col(c).cast("string").alias("bucket"))
+            df.groupBy(*keys)
             .agg(F.count("*").alias("count"))
-            .select(F.lit(c).alias("metric"), "bucket", "count")
+            .select(*head, "bucket", "count")
         )
     out = parts[0]
     for p in parts[1:]:

@@ -144,9 +144,15 @@ class ValidationJob:
         if completed and prev is not None:
             from doc_quality_check_spark.suite.runner import VERDICT_SCHEMA
 
+            # table-level checks ALWAYS recompute on the full input — their
+            # verdicts must not also merge from the prior run (per-partition
+            # drift rows carry real part_keys and would duplicate otherwise)
+            table_cids = {c.constraint_id for c in suite.checks if not c.is_row_level}
             prior_rows = []
             for pk in completed:
                 for cid, v in prev.partitions.get(pk, {}).get("checks", {}).items():
+                    if cid in table_cids:
+                        continue
                     prior_rows.append((
                         pk, cid,
                         None if v.get("n_rows") is None else int(v["n_rows"]),

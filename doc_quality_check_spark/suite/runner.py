@@ -313,9 +313,10 @@ class SuiteRunner:
                         if extra is not None:
                             extras[cid] = extra
             for check in table_checks:  # preserve suite order
-                table_verdict_rows.append(
-                    _apply_severity(check, results[check.constraint_id])
-                )
+                got = results[check.constraint_id]
+                # per-partition drift returns one verdict row PER part_key
+                for row in (got if isinstance(got, list) else [got]):
+                    table_verdict_rows.append(_apply_severity(check, row))
                 if check.constraint_id in extras:
                     viols = viols.unionByName(extras[check.constraint_id])
             if resume_cache is not None:
@@ -521,6 +522,48 @@ class SuiteRunner:
         elif check.kind in ("drift_psi", "drift_ks", "drift_w1", "drift_chi2"):
             if baseline is None:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")
+            if _param_bool(p.get("per_partition", False)):
+                # per-partition drift: ONE grouped plan over all partitions
+                # (drift_psi_by_group), one verdict row per part_key — the
+                # north rule's per-partition pass/fail applied to drift
+                if check.kind != "drift_psi":
+                    raise ValueError(
+                        f"check {cid}: per_partition drift is implemented for "
+                        f"drift_psi only (got {check.kind})"
+                    )
+                if not self.suite.partition_by:
+                    raise ValueError(
+                        f"check {cid}: per_partition drift needs suite.partition_by"
+                    )
+                if "part_key" not in baseline.columns:
+                    raise ValueError(
+                        f"check {cid}: per_partition drift needs a baseline with a "
+                        "part_key column — write it with "
+                        "snapshot_histograms(df_with_part_key, cols, group_col='part_key')"
+                    )
+                from doc_quality_check_spark.operators.aggregates import (
+                    drift_psi_by_group,
+                )
+
+                cur_g = (
+                    df.select(
+                        part_key_col(self.suite.partition_by).alias("grp"),
+                        F.col(check.column).cast("string").alias("bucket"),
+                    )
+                    .groupBy("grp", "bucket")
+                    .agg(F.count("*").alias("count"))
+                )
+                base_g = baseline.filter(F.col("metric") == check.column).select(
+                    F.col("part_key").alias("grp"), "bucket", "count"
+                )
+                mx = float(p.get("max_psi", 0.2))
+                rows = [
+                    (r["grp"], cid, None, 0,
+                     bool(r["psi"] is not None and r["psi"] <= mx),
+                     float(r["psi"]) if r["psi"] is not None else 0.0)
+                    for r in drift_psi_by_group(cur_g, base_g, "grp").collect()
+                ]
+                return rows, None
             cur = histogram(df, check.column)
             base = baseline.filter(F.col("metric") == check.column).select("bucket", "count")
             if check.kind == "drift_psi":

@@ -125,6 +125,44 @@ def test_drift_psi_by_group_matches_global_per_group(spark):
     assert all(abs(r["psi"]) < 1e-12 for r in z)
 
 
+def test_per_partition_drift_verdicts(spark, clips_dir):
+    """drift_psi with per_partition=true: one verdict row per part_key from
+    ONE grouped plan; only the partition whose distribution shifted fails."""
+    from doc_quality_check_spark.operators.aggregates import snapshot_histograms
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(800)
+    snap = snapshot_histograms(clips, ["sr_hz"], group_col="part_key")
+    parts = sorted(r["part_key"] for r in clips.select("part_key").distinct().collect())
+    assert len(parts) >= 3
+    bad = parts[0]
+    cur = clips.withColumn(
+        "sr_hz",
+        F.when(F.col("part_key") == bad, F.lit(99999)).otherwise(F.col("sr_hz")),
+    )
+    suite = CheckSuite(
+        name="pp_drift", partition_by=["part_key"],
+        checks=[
+            Check("nn", "not_null", "clip_id", priority=1),
+            Check("sr_drift_pp", "drift_psi", "sr_hz",
+                  {"baseline_table": "snap", "max_psi": 0.05,
+                   "per_partition": True}),
+        ],
+    )
+    res = SuiteRunner(suite).run(cur, baseline=snap, payload=False)
+    rows = {r["part_key"]: r for r in res.verdicts.collect()
+            if r["constraint_id"] == "sr_drift_pp"}
+    assert set(rows) == set(parts)  # one drift verdict per data partition
+    assert rows[bad]["passed"] is False and rows[bad]["metric_value"] > 0.05
+    for pk in parts[1:]:
+        assert rows[pk]["passed"] is True and rows[pk]["metric_value"] < 1e-9
+    res.unpersist()
+
+    # baseline without part_key -> clear error
+    flat = snapshot_histograms(clips, ["sr_hz"])
+    with pytest.raises(ValueError, match="part_key"):
+        SuiteRunner(suite).run(cur, baseline=flat, payload=False)
+
+
 def test_drift_w1_chi2_suite_roundtrip(spark, clips_dir):
     """drift_w1/drift_chi2 as declarative check kinds: self-baseline → zero
     drift passes; a baseline missing one codec → chi2 drift fails."""
