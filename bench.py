@@ -26,7 +26,9 @@ N_CLIPS = int(os.environ.get("BENCH_N_CLIPS", "20000"))
 BENCH_QUERIES = [
     "group_stats", "percentiles_sketch", "threshold_sweep", "duplicate_keys",
     "semi_join", "freq_enrich", "argmax_per_group", "topn_per_group",
-    "lag_neighbor", "drift_psi",
+    "lag_neighbor", "drift_psi", "drift_psi_by_group",
+    # payload-level audio near-dup (decode + fingerprint + LSH pairing)
+    "audio_neardup",
     # training-pipeline operators (documents/embeddings tables)
     "dedup_jaccard", "dedup_jaccard_prefix", "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1410,9 +1410,23 @@ def q_audio_neardup(spark, sf):
     )
     from doc_quality_check_spark.operators.audio_dedup import audio_neardup_pairs
 
-    users = t(spark, sf, "events").select(
-        F.col("user_id").cast("long").alias("uid")
-    ).distinct()
+    # Two measured pathologies shape this plan (this VM, BASELINE.md):
+    # 1. AQE coalesces the tiny distinct output to ONE partition, which
+    #    would serialize the synth UDF into a single Python worker — spread
+    #    the uid rows (longs, NOT a payload shuffle). 8 partitions, not 32:
+    #    binary-column Arrow transfer degrades superlinearly past ~8
+    #    concurrent writer threads in one JVM (9.1s @32p vs 3.4s @8p).
+    # 2. CHAINED pandas UDFs in one stage (synth -> fingerprint, bytes
+    #    crossing the JVM twice) run ~20x slower than the same work split
+    #    across stages (28.5s vs 1.5s measured) — checkpoint the synthetic
+    #    clips so the fingerprint stage starts from stored bytes, exactly
+    #    like the real-data path (parquet scan -> ONE decode UDF).
+    users = (
+        t(spark, sf, "events")
+        .select(F.col("user_id").cast("long").alias("uid"))
+        .distinct()
+        .repartition(8)
+    )
 
     @F.pandas_udf("binary")
     def _synth(uids: pd.Series) -> pd.Series:
@@ -1430,7 +1444,7 @@ def q_audio_neardup(spark, sf):
         F.concat(F.lit("clip_"), F.col("uid")).alias("clip_id"),
         _synth("uid").alias("bytes"),
         F.lit("pcm_s16le").alias("codec"),
-    )
+    ).localCheckpoint(eager=True)
     return audio_neardup_pairs(clips).orderBy("id_a", "id_b")
 
 
