@@ -1829,6 +1829,33 @@ LEFT JOIN g b ON b.pair_key = a.pair_key AND b.doc_id <> a.doc_id
 # Column profiling (completeness / stats over a mixed-null table)
 # ---------------------------------------------------------------------------
 
+def q_column_entropy(spark, sf):
+    """Shannon entropy (bits) of the lang distribution per source — the
+    categorical-column profiling signal: ~0 bits flags a degenerate or
+    near-constant column, log2(k) flags uniform spread. One grouped count
+    + one group window over the (source, lang) histogram — histogram-sized
+    data only, same shuffle shape as drift_psi_by_group."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf, "documents")
+    cnt = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    p = F.try_divide(F.col("c"), F.sum("c").over(Window.partitionBy("source")))
+    return (
+        cnt.select("source", (-(p) * F.log2(p)).alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 4).alias("entropy"))
+        .orderBy("source")
+    )
+
+
+SQL_COLUMN_ENTROPY = """
+WITH cnt AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+t AS (SELECT source, c, sum(c) OVER (PARTITION BY source) AS tot FROM cnt)
+SELECT source, round(sum(-(c * 1.0 / tot) * log2(c * 1.0 / tot)), 4) AS entropy
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 def q_completeness_profile(spark, sf):
     ev = t(spark, sf, "events")
     return ev.agg(
@@ -2129,6 +2156,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_fanout": q_chunk_fanout,
     "pair_repair": q_pair_repair,
     "completeness_profile": q_completeness_profile,
+    "column_entropy": q_column_entropy,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -2190,4 +2218,5 @@ ORACLES_EXT: dict[str, str] = {
     "chunk_fanout": SQL_CHUNK_FANOUT,
     "pair_repair": SQL_PAIR_REPAIR,
     "completeness_profile": SQL_COMPLETENESS_PROFILE,
+    "column_entropy": SQL_COLUMN_ENTROPY,
 }
