@@ -519,6 +519,29 @@ class SuiteRunner:
                 val is not None
                 and p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
             )
+        elif check.kind == "entropy_range":
+            # Shannon entropy (bits) of the column's value distribution — a
+            # profiling gate: ~0 flags a degenerate/near-constant column,
+            # log2(k) a uniform one. Grouped count + broadcast total only
+            # (histogram-sized data moves, same shape as the drift checks).
+            cnt = df.groupBy(
+                F.col(check.column).cast("string").alias("b")
+            ).agg(F.count("*").alias("c"))
+            tot = cnt.agg(F.sum("c").alias("tot"))
+            pcol = F.try_divide(F.col("c"), F.col("tot"))
+            val = (
+                cnt.crossJoin(F.broadcast(tot))
+                .select((-(pcol) * F.log2(pcol)).alias("t"))
+                .agg(F.sum("t").alias("h"))
+                .first()["h"]
+            )
+            metric = float(val) if val is not None else 0.0
+            n_viol = 0
+            # empty input -> no distribution, the bound cannot be attested
+            passed = (
+                val is not None
+                and p.get("min", 0.0) <= val <= p.get("max", float("inf"))
+            )
         elif check.kind in ("drift_psi", "drift_ks", "drift_w1", "drift_chi2"):
             if baseline is None:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")

@@ -18,7 +18,7 @@ Table-level (evaluated by the runner as aggregates / joins; schema_match
 is pure metadata — no job):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
   drift_ks | drift_w1 | drift_chi2 | distinct_range | quantile_range |
-  schema_match``
+  entropy_range | schema_match``
 
 Default thresholds mirror the reference: readability threshold 15
 (/root/reference/test_readability.py:15), emptiness threshold 0.5%
@@ -59,6 +59,7 @@ TABLE_LEVEL_KINDS = {
     "drift_chi2",
     "distinct_range",
     "quantile_range",
+    "entropy_range",
     "schema_match",
 }
 

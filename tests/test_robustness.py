@@ -125,6 +125,36 @@ def test_drift_psi_by_group_matches_global_per_group(spark):
     assert all(abs(r["psi"]) < 1e-12 for r in z)
 
 
+def test_entropy_range_check(spark, clips_dir):
+    """entropy_range: bits of the column distribution; a constant column
+    scores 0 and fails a min bound, a k-valued column scores in (0, log2 k]."""
+    import math
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(600)
+    k = clips.select("codec").distinct().count()
+    suite = CheckSuite(
+        name="entropy", partition_by=["part_key"],
+        checks=[
+            Check("codec_entropy", "entropy_range", "codec",
+                  {"min": 0.1, "max": math.log2(k) + 1e-9}),
+            Check("const_entropy", "entropy_range", "codec",
+                  {"min": 0.5}),
+        ],
+    )
+    res = SuiteRunner(suite).run(clips, payload=False)
+    v = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert v["codec_entropy"]["passed"] is True
+    assert 0.1 < v["codec_entropy"]["metric_value"] <= math.log2(k)
+    res.unpersist()
+
+    const = clips.withColumn("codec", F.lit("pcm_s16le"))
+    res2 = SuiteRunner(suite).run(const, payload=False)
+    v2 = {r["constraint_id"]: r for r in res2.verdicts.collect()}
+    assert v2["const_entropy"]["passed"] is False
+    assert v2["const_entropy"]["metric_value"] == 0.0
+    res2.unpersist()
+
+
 def test_per_partition_drift_verdicts(spark, clips_dir):
     """drift_psi with per_partition=true: one verdict row per part_key from
     ONE grouped plan; only the partition whose distribution shifted fails."""
