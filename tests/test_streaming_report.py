@@ -74,6 +74,57 @@ def test_stream_validate_appends_results(spark, stream_dirs):
     assert spark.read.parquet(out + "/verdicts").count() == n0
 
 
+def test_stream_drift_psi_per_window(spark, tmp_path_factory):
+    """Streaming drift: the windowed histogram accumulates across
+    micro-batches (latest-wins over update-mode rows), and the reader
+    scores each event-time window's PSI against the static baseline —
+    only the drifted window fails."""
+    from doc_quality_check_spark.streaming.drift import (
+        read_stream_drift,
+        stream_histogram,
+    )
+
+    base = tmp_path_factory.mktemp("sdrift")
+    inp, out = str(base / "in"), str(base / "out")
+    os.makedirs(inp)
+
+    def rows(srs, t0):
+        return [(f"c{t0}_{i}", sr, f"2026-01-01 10:0{t0}:{10 + i % 40:02d}")
+                for i, sr in enumerate(srs)]
+
+    schema = "clip_id string, sr_hz int, ts_s string"
+    # window A (10:00-10:05): 50/50 split of 8000/16000, HALF per file so
+    # the second micro-batch UPDATES window A's buckets; window B
+    # (10:05-10:10): all 99999 (drifted), second file only
+    f1 = rows([8000] * 15 + [16000] * 15, 0)
+    f2 = rows([8000] * 15 + [16000] * 15, 1) + rows([99999] * 40, 6)
+    for name, data in (("a", f1), ("b", f2)):
+        (spark.createDataFrame(data, schema)
+         .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+         .coalesce(1).write.mode("overwrite").parquet(inp + "_" + name))
+    for i, f in enumerate(sorted(glob.glob(inp + "_*/part-*.parquet"))):
+        shutil.copy(f, os.path.join(inp, f"clips_{i}.parquet"))
+
+    q = stream_histogram(
+        spark, inp, out, "sr_hz",
+        schema_ddl="clip_id string, sr_hz int, ts timestamp",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    baseline = spark.createDataFrame(
+        [("8000", 10), ("16000", 10)], "bucket string, count long"
+    )
+    drift = {r["window_start"].strftime("%H:%M"): r
+             for r in read_stream_drift(spark, out, baseline, max_psi=0.1).collect()}
+    assert set(drift) == {"10:00", "10:05"}
+    assert drift["10:00"]["psi"] < 1e-9 and drift["10:00"]["passed"] is True
+    assert drift["10:05"]["psi"] > 0.1 and drift["10:05"]["passed"] is False
+    # latest-wins: window A's final histogram saw BOTH files (30+30 rows)
+    hist = spark.read.parquet(out + "/hist")
+    assert hist.count() > hist.select("window_start", "bucket").distinct().count()
+
+
 @pytest.fixture(scope="module")
 def run_result(spark, clips_dir):
     clips = load_clips(spark, clips_dir).limit(600)
