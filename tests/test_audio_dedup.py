@@ -101,6 +101,29 @@ def test_fingerprints_null_for_undecodable(neardup_df):
     assert _hamming(fps["g0_t0"], fps["g0_t1"]) <= 2
 
 
+def test_audio_pairs_compose_with_cluster_and_keep_first(neardup_df):
+    """The audio pair table feeds the existing text-dedup machinery
+    unchanged: connected components cluster each content group, and
+    dedup_keep_first retains exactly one take per group."""
+    from doc_quality_check_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_first,
+    )
+
+    pairs = audio_neardup_pairs(neardup_df, max_hamming=7)
+    comps = {r["id"]: r["comp"]
+             for r in connected_components(pairs).collect()}
+    for g in range(4):  # all takes of one content group share a component
+        assert comps[f"g{g}_t0"] == comps[f"g{g}_t1"] == comps[f"g{g}_t2"]
+    assert len(set(comps.values())) >= 4
+
+    kept = {r["clip_id"]
+            for r in dedup_keep_first(pairs, neardup_df, "clip_id").collect()}
+    for g in range(4):  # exactly one surviving take per group
+        assert len(kept & {f"g{g}_t0", f"g{g}_t1", f"g{g}_t2"}) == 1
+    assert "corrupt" in kept  # undecodable rows are never dropped by dedup
+
+
 def test_neardup_plan_no_cartesian(neardup_df):
     plan = audio_neardup_pairs(neardup_df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
