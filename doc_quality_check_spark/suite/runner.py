@@ -520,13 +520,17 @@ class SuiteRunner:
                 and p.get("min", float("-inf")) <= val <= p.get("max", float("inf"))
             )
         elif check.kind == "entropy_range":
-            # Shannon entropy (bits) of the column's value distribution — a
-            # profiling gate: ~0 flags a degenerate/near-constant column,
-            # log2(k) a uniform one. Grouped count + broadcast total only
-            # (histogram-sized data moves, same shape as the drift checks).
-            cnt = df.groupBy(
-                F.col(check.column).cast("string").alias("b")
-            ).agg(F.count("*").alias("c"))
+            # Shannon entropy (bits) of the column's NON-NULL value
+            # distribution — a profiling gate: ~0 flags a degenerate/
+            # near-constant column, log2(k) a uniform one. NULLs are a
+            # completeness concern, not a distribution bucket (and
+            # suggest_suite derives its bounds from non-null counts).
+            # Grouped count + broadcast total only — histogram-sized data.
+            cnt = (
+                df.filter(F.col(check.column).isNotNull())
+                .groupBy(F.col(check.column).cast("string").alias("b"))
+                .agg(F.count("*").alias("c"))
+            )
             tot = cnt.agg(F.sum("c").alias("tot"))
             pcol = F.try_divide(F.col("c"), F.col("tot"))
             val = (

@@ -17,7 +17,10 @@ scan for their domain. Suggested rules:
                                 widened by ``range_slack`` so boundary
                                 values don't flap (quantiles via sketch —
                                 bounded memory at any scale)
-- string, distinct <= max_domain → ``isin`` domain check
+- string, distinct <= max_domain → ``isin`` domain check + an advisory
+                                ``entropy_range`` around the observed
+                                Shannon entropy (fires on collapse toward
+                                one value or spread toward uniform)
 - distinct ≈ rows on a non-float column → ``unique`` table check (PK-like)
 
 Every suggested rule except ``unique`` passes on the profiled data by
@@ -109,17 +112,43 @@ def suggest_suite(
                 )
                 prio += 1
         if isinstance(f.dataType, StringType) and nd and nd <= max_domain:
-            domain = [
-                r[0]
-                for r in df.select(c).filter(F.col(c).isNotNull())
-                .distinct().limit(max_domain + 1).collect()
-            ]
+            # one grouped count serves BOTH the isin domain and the entropy
+            # profile (same single extra scan the distinct() used to be)
+            counts = (
+                df.select(c).filter(F.col(c).isNotNull())
+                .groupBy(c).agg(F.count(F.lit(1)).alias("_c"))
+                .limit(max_domain + 1).collect()
+            )
+            domain = [r[0] for r in counts]
             if len(domain) <= max_domain:
                 checks.append(
                     Check(f"{c}_domain", "isin", c,
                           {"values": sorted(domain)}, priority=prio)
                 )
                 prio += 1
+                tot = sum(r["_c"] for r in counts)
+                if len(domain) >= 2 and tot:
+                    import math
+
+                    h = -sum(
+                        (r["_c"] / tot) * math.log2(r["_c"] / tot)
+                        for r in counts if r["_c"]
+                    )
+                    if h > 0:
+                        # h/2 <= h <= (h + log2(k))/2 — passes today, fires
+                        # on collapse toward one value or spread toward
+                        # uniform; advisory by the same posture as in_range
+                        params = {
+                            "min": round(h / 2, 4),
+                            "max": round((h + math.log2(len(domain))) / 2, 4),
+                        }
+                        if range_severity != "error":
+                            params["severity"] = range_severity
+                        checks.append(
+                            Check(f"{c}_entropy", "entropy_range", c,
+                                  params, priority=prio)
+                        )
+                        prio += 1
         # PK-like: near-total distinctness on a non-floating column
         if (
             nd

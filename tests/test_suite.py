@@ -321,6 +321,7 @@ def test_suggest_suite_profiles_and_passes(spark, clips_dir):
     assert kinds.get("clip_id_not_null") == "not_null"
     assert kinds.get("dur_ms_range") == "in_range"
     assert kinds.get("codec_domain") == "isin"          # low-cardinality
+    assert kinds.get("codec_entropy") == "entropy_range"  # distribution profile
     assert kinds.get("clip_id_unique") == "unique"      # near-key
     assert not any(c.column == "bytes" for c in suite.checks)
     # round-trips through the declarative JSON spec
@@ -406,7 +407,10 @@ def test_suggest_suite_warn_ranges(spark, clips_dir):
 
     clips = load_clips(spark, clips_dir).drop("bytes").limit(300)
     suite = suggest_suite(clips, range_severity="warn")
-    ranges = [c for c in suite.checks if c.kind == "in_range"]
-    assert ranges and all(c.severity == "warn" for c in ranges)
-    others = [c for c in suite.checks if c.kind != "in_range"]
+    # both auto-derived distribution bounds (numeric ranges + entropy) are
+    # advisory under range_severity; structural rules stay hard
+    soft = [c for c in suite.checks if c.kind in ("in_range", "entropy_range")]
+    assert soft and all(c.severity == "warn" for c in soft)
+    assert any(c.kind == "entropy_range" for c in soft)
+    others = [c for c in suite.checks if c.kind not in ("in_range", "entropy_range")]
     assert all(c.severity == "error" for c in others)
