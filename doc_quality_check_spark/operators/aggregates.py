@@ -165,6 +165,18 @@ def count_min_estimates(df: DataFrame, column: str, width: int = 1024,
     )
 
 
+def _hist_pair(
+    current_hist: DataFrame, baseline_hist: DataFrame, group_cols: tuple = ()
+) -> DataFrame:
+    """Shared prologue of every drift statistic: normalize each side with a
+    groupBy-sum, full-outer join on (group..., bucket), zero-fill missing
+    mass. One place for the histogram-pair edge semantics."""
+    keys = [*group_cols, "bucket"]
+    cur = current_hist.groupBy(*keys).agg(F.sum("count").alias("c_cnt"))
+    base = baseline_hist.groupBy(*keys).agg(F.sum("count").alias("b_cnt"))
+    return cur.join(base, keys, "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+
+
 def drift_psi(
     current_hist: DataFrame, baseline_hist: DataFrame, epsilon: float = 1e-6
 ) -> DataFrame:
@@ -173,9 +185,7 @@ def drift_psi(
     Full-outer join on bucket (missing mass → epsilon), PSI = Σ (p-q)·ln(p/q).
     Both inputs are tiny aggregates — executed as a broadcast join.
     """
-    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
-    joined = cur.join(base, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+    joined = _hist_pair(current_hist, baseline_hist)
     tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
     j = joined.crossJoin(F.broadcast(tot))
     p = F.greatest(F.try_divide(F.col("c_cnt"), F.col("ct")), F.lit(epsilon))
@@ -186,15 +196,11 @@ def drift_psi(
 def drift_ks(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     """Kolmogorov–Smirnov statistic over ordered numeric buckets: max |CDF
     difference|, via a cumulative-sum window on the (tiny) joined histogram."""
-    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
-    joined = (
-        cur.join(base, "bucket", "full_outer")
-        .fillna(0, ["c_cnt", "b_cnt"])
+    joined = _hist_pair(current_hist, baseline_hist).withColumn(
         # try_cast: categorical buckets (codec names) order lexically instead
         # of failing the ANSI numeric cast; KS over categories is then a
         # deterministic max-CDF-gap under that fixed order
-        .withColumn("bucket_num", F.expr("try_cast(bucket AS double)"))
+        "bucket_num", F.expr("try_cast(bucket AS double)")
     )
     w = Window.orderBy(
         F.asc_nulls_first("bucket_num"), F.asc("bucket")
@@ -221,12 +227,7 @@ def drift_psi_by_group(
     :func:`drift_psi` calls, which would launch P jobs and P shuffles (the
     anti-pattern at P in the thousands). Groups missing from one side get
     the epsilon floor, same as missing buckets in the global form."""
-    cur = current_hist.groupBy(group_col, "bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy(group_col, "bucket").agg(F.sum("count").alias("b_cnt"))
-    j = (
-        cur.join(base, [group_col, "bucket"], "full_outer")
-        .fillna(0, ["c_cnt", "b_cnt"])
-    )
+    j = _hist_pair(current_hist, baseline_hist, (group_col,))
     w = Window.partitionBy(group_col)
     p = F.greatest(F.try_divide(F.col("c_cnt"), F.sum("c_cnt").over(w)), F.lit(epsilon))
     q = F.greatest(F.try_divide(F.col("b_cnt"), F.sum("b_cnt").over(w)), F.lit(epsilon))
@@ -247,15 +248,13 @@ def drift_w1(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     blind to bucket ORDER; KS is the max CDF gap and blind to how FAR the
     mass moved; W1 integrates gap × distance, so a shift from 44100 to
     48000 Hz scores very differently from one to 8000 Hz. Non-numeric
-    buckets are excluded (no metric space); an empty comparable support
-    yields NULL, identical single-point support yields 0. Both inputs are
-    tiny aggregates — the join broadcasts, the window is over ≤ |buckets|
-    rows."""
-    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
+    buckets are excluded (no metric space); NULL when EITHER side has no
+    numeric mass (a distribution that disappeared is not 'zero drift' — the
+    suite check fails on NULL), identical single-point support yields 0.
+    Both inputs are tiny aggregates — the join broadcasts, the window is
+    over ≤ |buckets| rows."""
     joined = (
-        cur.join(base, "bucket", "full_outer")
-        .fillna(0, ["c_cnt", "b_cnt"])
+        _hist_pair(current_hist, baseline_hist)
         .withColumn("x", F.expr("try_cast(bucket AS double)"))
         .filter(F.col("x").isNotNull())
     )
@@ -265,14 +264,18 @@ def drift_w1(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     cdf_c = F.try_divide(F.sum("c_cnt").over(wc), F.col("ct"))
     cdf_b = F.try_divide(F.sum("b_cnt").over(wc), F.col("bt"))
     step = j.select(
-        F.col("x"),
+        F.col("x"), F.col("ct"), F.col("bt"),
         (F.abs(cdf_c - cdf_b)
          * (F.lead("x").over(Window.orderBy("x")) - F.col("x"))).alias("a"),
     )
     # last row's lead is NULL (sum skips it; both CDFs are 1 there anyway);
-    # single-point support -> 0, empty support -> NULL
+    # single-point support -> 0; NULL when the support is empty OR one side
+    # has no mass over it (ct/bt = 0 -> NULL CDFs would masquerade as 0.0)
     return step.agg(
-        F.when(F.count("*") > 0, F.coalesce(F.sum("a"), F.lit(0.0))).alias("w1")
+        F.when(
+            (F.count("*") > 0) & (F.max("ct") > 0) & (F.max("bt") > 0),
+            F.coalesce(F.sum("a"), F.lit(0.0)),
+        ).alias("w1")
     )
 
 
@@ -283,9 +286,7 @@ def drift_chi2(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     scale-free [0,1] drift score thresholdable independently of table size
     (raw chi2 grows linearly with N at a fixed drift level, so any fixed
     chi2 threshold breaks on a 100× bigger snapshot)."""
-    cur = current_hist.groupBy("bucket").agg(F.sum("count").alias("c_cnt"))
-    base = baseline_hist.groupBy("bucket").agg(F.sum("count").alias("b_cnt"))
-    joined = cur.join(base, "bucket", "full_outer").fillna(0, ["c_cnt", "b_cnt"])
+    joined = _hist_pair(current_hist, baseline_hist)
     tot = joined.agg(F.sum("c_cnt").alias("ct"), F.sum("b_cnt").alias("bt"))
     j = joined.crossJoin(F.broadcast(tot))
     pooled = F.try_divide(

@@ -473,13 +473,15 @@ j AS (SELECT coalesce(cur.bucket, base.bucket) AS bucket,
              coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
       FROM cur FULL OUTER JOIN base ON cur.bucket = base.bucket),
 tot AS (SELECT sum(c_cnt) AS ct, sum(b_cnt) AS bt FROM j),
-cdf AS (SELECT bucket,
+cdf AS (SELECT bucket, ct, bt,
                sum(c_cnt) OVER (ORDER BY bucket) * 1.0 / ct AS cc,
                sum(b_cnt) OVER (ORDER BY bucket) * 1.0 / bt AS cb
         FROM j, tot),
-step AS (SELECT abs(cc - cb) * (lead(bucket) OVER (ORDER BY bucket) - bucket) AS a
+step AS (SELECT ct, bt,
+                abs(cc - cb) * (lead(bucket) OVER (ORDER BY bucket) - bucket) AS a
          FROM cdf)
-SELECT round(CASE WHEN count(*) > 0 THEN coalesce(sum(a), 0.0) END, 4) AS w1
+SELECT round(CASE WHEN count(*) > 0 AND max(ct) > 0 AND max(bt) > 0
+             THEN coalesce(sum(a), 0.0) END, 4) AS w1
 FROM step
 """
 

@@ -96,16 +96,13 @@ class ValidationJob:
         m = self.manifests.start_run(suite, input_files=input_files)
         if _merge_prev is not None and prev is not None:
             m.input_lineage["incremental_from_run"] = prev.run_id
-            self.manifests.save(m)
         if lineage:
             # source lineage (Iceberg snapshot id / parquet file list) from
             # sources.iceberg.snapshot_lineage — the north rule's
             # per-run (snapshot-id, file list, constraint versions) record
             m.input_lineage["source"] = lineage
-            self.manifests.save(m)
         if completed:
             m.input_lineage["resumed_from_partitions"] = sorted(completed)
-            self.manifests.save(m)
 
         # schema-evolution guard: record this run's input schema and diff it
         # against the last COMPLETE run's, so a snapshot that silently
@@ -123,6 +120,9 @@ class ValidationJob:
                 "vs_run": base_m.run_id,
                 **schema_evolution_diff(prev_schema, cur_schema),
             }
+        # ONE write for every pre-run lineage field (each save rewrites the
+        # whole manifest file; interleaved saves just add partially-populated
+        # on-disk states to reason about after a crash)
         self.manifests.save(m)
 
         runner = SuiteRunner(suite)
@@ -146,8 +146,12 @@ class ValidationJob:
 
             # table-level checks ALWAYS recompute on the full input — their
             # verdicts must not also merge from the prior run (per-partition
-            # drift rows carry real part_keys and would duplicate otherwise)
-            table_cids = {c.constraint_id for c in suite.checks if not c.is_row_level}
+            # drift rows carry real part_keys and would duplicate otherwise).
+            # From the UNPRUNED suite: a check pruned THIS run (no baseline/
+            # catalog passed) must not sneak stale verdicts in via the merge.
+            table_cids = {
+                c.constraint_id for c in self.suite.checks if not c.is_row_level
+            }
             prior_rows = []
             for pk in completed:
                 for cid, v in prev.partitions.get(pk, {}).get("checks", {}).items():
@@ -264,8 +268,13 @@ class ValidationJob:
         if compare_cols is None:
             shared = set(prev_clips.columns) & set(clips.columns)
             compare_cols = sorted(shared - {id_col})
-        ids = snapshot_diff(prev_clips, clips, [id_col], compare_cols).select(
-            id_col
+        # persist: the diff is ONE full-outer shuffle of both snapshots (the
+        # feature's dominant cost) and both semi-joins below consume it —
+        # uncached it would be computed twice
+        ids = (
+            snapshot_diff(prev_clips, clips, [id_col], compare_cols)
+            .select(id_col)
+            .persist()
         )
         pk = part_key_col(part_cols).alias("part_key")
         touched = {
@@ -277,6 +286,7 @@ class ValidationJob:
                 .collect()
             )
         }
+        ids.unpersist()
         unchanged = [
             p
             for p in self.manifests.completed_partitions(prev_m)

@@ -581,14 +581,28 @@ class SuiteRunner:
                     .agg(F.count("*").alias("count"))
                 )
                 base_g = baseline.filter(F.col("metric") == check.column).select(
-                    F.col("part_key").alias("grp"), "bucket", "count"
+                    # the current side's part keys go through part_key_col's
+                    # '__null__' sentinel — normalize the baseline the same
+                    # way or NULL partitions never match and spuriously drift
+                    F.coalesce(F.col("part_key").cast("string"),
+                               F.lit(NULL_PART)).alias("grp"),
+                    "bucket",
+                    "count",
                 )
                 mx = float(p.get("max_psi", 0.2))
+                scored = drift_psi_by_group(cur_g, base_g, "grp")
+                # verdicts only for partitions present in the CURRENT input:
+                # a baseline-only partition must not enter the verdict table
+                # (record_partitions would mark a nonexistent partition
+                # complete, corrupting the resume/incremental skip set)
+                scored = scored.join(
+                    cur_g.select("grp").distinct(), "grp", "left_semi"
+                )
                 rows = [
                     (r["grp"], cid, None, 0,
                      bool(r["psi"] is not None and r["psi"] <= mx),
                      float(r["psi"]) if r["psi"] is not None else 0.0)
-                    for r in drift_psi_by_group(cur_g, base_g, "grp").collect()
+                    for r in scored.collect()
                 ]
                 return rows, None
             cur = histogram(df, check.column)

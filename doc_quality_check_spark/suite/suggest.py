@@ -137,10 +137,15 @@ def suggest_suite(
                     if h > 0:
                         # h/2 <= h <= (h + log2(k))/2 — passes today, fires
                         # on collapse toward one value or spread toward
-                        # uniform; advisory by the same posture as in_range
+                        # uniform; advisory by the same posture as in_range.
+                        # DIRECTIONAL rounding: a uniform domain has
+                        # h == log2(k), and round-to-nearest on the max
+                        # could land below h, failing the profiled data
                         params = {
-                            "min": round(h / 2, 4),
-                            "max": round((h + math.log2(len(domain))) / 2, 4),
+                            "min": math.floor(h / 2 * 1e4) / 1e4,
+                            "max": math.ceil(
+                                (h + math.log2(len(domain))) / 2 * 1e4
+                            ) / 1e4,
                         }
                         if range_severity != "error":
                             params["severity"] = range_severity

@@ -76,6 +76,10 @@ def test_drift_w1_closed_form(spark):
     assert drift_w1(hist({5: 7}), hist({5: 3})).first()["w1"] == 0.0
     # no numeric support -> NULL (bound cannot be attested)
     assert drift_w1(hist({"pcm": 1}), hist({"flac": 1})).first()["w1"] is None
+    # ONE-sided numeric support (current drifted to non-numeric/NULL) is
+    # NOT zero drift -> NULL, so the suite check fails instead of passing
+    assert drift_w1(hist({"pcm": 5}), hist({3: 4})).first()["w1"] is None
+    assert drift_w1(hist({3: 4}), hist({"pcm": 5})).first()["w1"] is None
 
 
 def test_drift_chi2_closed_form(spark):
