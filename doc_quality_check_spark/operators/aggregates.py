@@ -238,6 +238,49 @@ def drift_psi_by_group(
     )
 
 
+def drift_chi2_by_group(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Per-group chi-squared/Cramér's V → (group, chi2, cramers_v, dof)
+    from two GROUPED histograms (group, bucket, count) — the categorical
+    twin of :func:`drift_psi_by_group`, same single-plan shape (grouped
+    aggregate + (group, bucket) equi-join + group window), same statistic
+    as the global :func:`drift_chi2` per group."""
+    j = _hist_pair(current_hist, baseline_hist, (group_col,))
+    w = Window.partitionBy(group_col)
+    ct = F.sum("c_cnt").over(w)
+    bt = F.sum("b_cnt").over(w)
+    pooled = F.try_divide(
+        (F.col("c_cnt") + F.col("b_cnt")).cast("double"),
+        (ct + bt).cast("double"),
+    )
+    e1 = pooled * ct.cast("double")
+    e2 = pooled * bt.cast("double")
+    d1 = F.col("c_cnt").cast("double") - e1
+    d2 = F.col("b_cnt").cast("double") - e2
+    term = (
+        F.when(e1 > 0, d1 * d1 / e1).otherwise(F.lit(0.0))
+        + F.when(e2 > 0, d2 * d2 / e2).otherwise(F.lit(0.0))
+    )
+    agg = (
+        j.select(group_col, term.alias("term"), (ct + bt).alias("n"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("term").alias("chi2"),
+            F.max("n").alias("n"),
+            (F.count("*") - F.lit(1)).cast("long").alias("dof"),
+        )
+    )
+    return agg.select(
+        group_col,
+        "chi2",
+        F.sqrt(F.try_divide(F.col("chi2"), F.col("n").cast("double"))).alias("cramers_v"),
+        "dof",
+    )
+
+
 def drift_w1(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
     """Wasserstein-1 (earth mover's) distance between two NUMERIC-bucket
     histograms: W1 = Σ |CDF_p(x_i) − CDF_q(x_i)| · (x_{i+1} − x_i) over the

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from doc_quality_check_spark.operators.aggregates import (
     drift_chi2,
+    drift_chi2_by_group,
     drift_ks,
     drift_psi,
     drift_psi_by_group,
@@ -534,6 +535,66 @@ ORDER BY grp
 """
 
 
+def q_drift_chi2_by_group(spark, sf):
+    """Per-cohort chi-squared/Cramér's V in one grouped plan — the
+    categorical twin of drift_psi_by_group (per-Iceberg-partition drift on
+    a categorical column, no per-group job loop)."""
+    ev = t(spark, sf, "events")
+
+    def ghist(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                (F.col("user_id") % 10).alias("grp"),
+                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+            )
+            .agg(F.count("*").alias("count"))
+        )
+
+    return (
+        drift_chi2_by_group(ghist("click"), ghist("view"), "grp")
+        .select(
+            "grp",
+            F.round("chi2", 4).alias("chi2"),
+            F.round("cramers_v", 4).alias("cramers_v"),
+            F.col("dof"),
+        )
+        .orderBy("grp")
+    )
+
+
+SQL_DRIFT_CHI2_BY_GROUP = """
+WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                    count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
+             coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base
+        ON cur.grp = base.grp AND cur.bucket = base.bucket),
+t AS (SELECT grp, c_cnt, b_cnt,
+             sum(c_cnt) OVER (PARTITION BY grp) AS ct,
+             sum(b_cnt) OVER (PARTITION BY grp) AS bt
+      FROM j),
+e AS (SELECT grp, c_cnt, b_cnt, ct, bt,
+             (c_cnt + b_cnt) * 1.0 / (ct + bt) * ct AS e1,
+             (c_cnt + b_cnt) * 1.0 / (ct + bt) * bt AS e2
+      FROM t)
+SELECT grp, round(sum(term), 4) AS chi2,
+       round(sqrt(sum(term) / max(ct + bt)), 4) AS cramers_v,
+       CAST(count(*) - 1 AS BIGINT) AS dof
+FROM (SELECT grp, ct, bt,
+             CASE WHEN e1 > 0 THEN (c_cnt - e1) * (c_cnt - e1) / e1 ELSE 0.0 END
+           + CASE WHEN e2 > 0 THEN (b_cnt - e2) * (b_cnt - e2) / e2 ELSE 0.0 END AS term
+      FROM e) z
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 def q_drift_chi2(spark, sf):
     """A12 drift, chi-squared homogeneity + Cramér's V over the same cohort
     histograms — the categorical-column drift statistic (V is scale-free,
@@ -596,6 +657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_w1": q_drift_w1,
     "drift_chi2": q_drift_chi2,
     "drift_psi_by_group": q_drift_psi_by_group,
+    "drift_chi2_by_group": q_drift_chi2_by_group,
 }
 
 from doc_quality_check_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
@@ -624,6 +686,7 @@ ORACLES: dict[str, str] = {
     "drift_w1": SQL_DRIFT_W1,
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_psi_by_group": SQL_DRIFT_PSI_BY_GROUP,
+    "drift_chi2_by_group": SQL_DRIFT_CHI2_BY_GROUP,
 }
 
 ORACLES.update(ORACLES_EXT)

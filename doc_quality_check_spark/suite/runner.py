@@ -551,12 +551,13 @@ class SuiteRunner:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")
             if _param_bool(p.get("per_partition", False)):
                 # per-partition drift: ONE grouped plan over all partitions
-                # (drift_psi_by_group), one verdict row per part_key — the
-                # north rule's per-partition pass/fail applied to drift
-                if check.kind != "drift_psi":
+                # (drift_psi_by_group / drift_chi2_by_group), one verdict
+                # row per part_key — the north rule's per-partition
+                # pass/fail applied to drift
+                if check.kind not in ("drift_psi", "drift_chi2"):
                     raise ValueError(
                         f"check {cid}: per_partition drift is implemented for "
-                        f"drift_psi only (got {check.kind})"
+                        f"drift_psi and drift_chi2 only (got {check.kind})"
                     )
                 if not self.suite.partition_by:
                     raise ValueError(
@@ -569,6 +570,7 @@ class SuiteRunner:
                         "snapshot_histograms(df_with_part_key, cols, group_col='part_key')"
                     )
                 from doc_quality_check_spark.operators.aggregates import (
+                    drift_chi2_by_group,
                     drift_psi_by_group,
                 )
 
@@ -589,8 +591,16 @@ class SuiteRunner:
                     "bucket",
                     "count",
                 )
-                mx = float(p.get("max_psi", 0.2))
-                scored = drift_psi_by_group(cur_g, base_g, "grp")
+                if check.kind == "drift_psi":
+                    mx = float(p.get("max_psi", 0.2))
+                    scored = drift_psi_by_group(cur_g, base_g, "grp").select(
+                        "grp", F.col("psi").alias("stat")
+                    )
+                else:
+                    mx = float(p.get("max_v", 0.1))
+                    scored = drift_chi2_by_group(cur_g, base_g, "grp").select(
+                        "grp", F.col("cramers_v").alias("stat")
+                    )
                 # verdicts only for partitions present in the CURRENT input:
                 # a baseline-only partition must not enter the verdict table
                 # (record_partitions would mark a nonexistent partition
@@ -600,8 +610,8 @@ class SuiteRunner:
                 )
                 rows = [
                     (r["grp"], cid, None, 0,
-                     bool(r["psi"] is not None and r["psi"] <= mx),
-                     float(r["psi"]) if r["psi"] is not None else 0.0)
+                     bool(r["stat"] is not None and r["stat"] <= mx),
+                     float(r["stat"]) if r["stat"] is not None else 0.0)
                     for r in scored.collect()
                 ]
                 return rows, None

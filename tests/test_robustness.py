@@ -128,6 +128,22 @@ def test_drift_psi_by_group_matches_global_per_group(spark):
     z = drift_psi_by_group(cur, cur, "grp").collect()
     assert all(abs(r["psi"]) < 1e-12 for r in z)
 
+    # grouped chi2 equals the global operator per group
+    from doc_quality_check_spark.operators.aggregates import (
+        drift_chi2,
+        drift_chi2_by_group,
+    )
+
+    gc = {r["grp"]: r for r in drift_chi2_by_group(cur, base, "grp").collect()}
+    for g in range(3):
+        want = drift_chi2(
+            cur.filter(F.col("grp") == g).select("bucket", "count"),
+            base.filter(F.col("grp") == g).select("bucket", "count"),
+        ).first()
+        assert gc[g]["chi2"] == pytest.approx(want["chi2"], rel=1e-9)
+        assert gc[g]["cramers_v"] == pytest.approx(want["cramers_v"], rel=1e-9)
+        assert gc[g]["dof"] == want["dof"]
+
 
 def test_entropy_range_check(spark, clips_dir):
     """entropy_range: bits of the column distribution; a constant column
@@ -180,6 +196,9 @@ def test_per_partition_drift_verdicts(spark, clips_dir):
             Check("sr_drift_pp", "drift_psi", "sr_hz",
                   {"baseline_table": "snap", "max_psi": 0.05,
                    "per_partition": True}),
+            Check("sr_chi2_pp", "drift_chi2", "sr_hz",
+                  {"baseline_table": "snap", "max_v": 0.05,
+                   "per_partition": True}),
         ],
     )
     res = SuiteRunner(suite).run(cur, baseline=snap, payload=False)
@@ -189,6 +208,12 @@ def test_per_partition_drift_verdicts(spark, clips_dir):
     assert rows[bad]["passed"] is False and rows[bad]["metric_value"] > 0.05
     for pk in parts[1:]:
         assert rows[pk]["passed"] is True and rows[pk]["metric_value"] < 1e-9
+    chi = {r["part_key"]: r for r in res.verdicts.collect()
+           if r["constraint_id"] == "sr_chi2_pp"}
+    assert set(chi) == set(parts)
+    assert chi[bad]["passed"] is False and chi[bad]["metric_value"] > 0.05
+    for pk in parts[1:]:
+        assert chi[pk]["passed"] is True and chi[pk]["metric_value"] < 1e-9
     res.unpersist()
 
     # baseline without part_key -> clear error
