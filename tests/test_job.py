@@ -369,6 +369,18 @@ def test_job_schema_evolution_recorded(spark, clips_dir, tmp_path):
     assert jr3.manifest.input_lineage["schema_evolution"]["vs_run"] == jr2.manifest.run_id
 
 
+def test_continuous_validation_example(spark, clips_dir, tmp_path):
+    """examples/continuous_validation.py composes the ops lifecycle
+    end-to-end: full run -> baseline -> incremental run -> per-partition
+    drift localization + schema record (asserts internally)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from continuous_validation import lifecycle
+
+    lifecycle(spark, str(tmp_path / "continuous"), clips_dir)
+
+
 def test_job_incremental_revalidates_only_touched_partitions(
     spark, clips_dir, tmp_path
 ):
