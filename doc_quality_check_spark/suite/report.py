@@ -22,7 +22,8 @@ import html as _html
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def _fetch(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
@@ -30,8 +31,23 @@ def _fetch(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
     vs = [r.asDict() for r in
           verdicts.orderBy("part_key", "constraint_id").collect()]
     sm = summary.first().asDict() if summary is not None else {}
-    vio = [r.asDict() for r in violations.limit(max_violations).collect()]
+    # STRATIFIED sample: a bare limit() at 10^12 rows returns an arbitrary
+    # slice dominated by one constraint; cap per constraint instead so the
+    # listing shows deterministic examples of EVERY failing constraint
+    per_c = max(1, max_violations // max(1, _n_constraints(violations)))
+    w = Window.partitionBy("constraint_id").orderBy("clip_id")
+    vio = [r.asDict() for r in (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_c).drop("_rn")
+        .orderBy("constraint_id", "clip_id")
+        .limit(max_violations).collect()
+    )]
     return vs, sm, vio
+
+
+def _n_constraints(violations: DataFrame) -> int:
+    # tiny distinct over the (already small) constraint-id domain
+    return violations.select("constraint_id").distinct().count()
 
 
 def render_txt(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
@@ -55,7 +71,8 @@ def render_txt(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
             f"{str(r['n_rows'] if r['n_rows'] is not None else '-'):>8s} "
             f"{r['n_violations']:>8d} {'PASS' if r['passed'] else 'FAIL'}"
         )
-    lines += ["", f"VIOLATIONS (first {max_violations})", "-" * 72]
+    lines += ["", f"VIOLATION SAMPLES (per constraint, <={max_violations} total)",
+              "-" * 72]
     for r in vio:
         lines.append(f"  {r['clip_id']}: {r['constraint_id']}")
     if not vio:
@@ -110,7 +127,7 @@ def render_html(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
 <h2>Summary</h2><ul>{stats}</ul>
 <h2>Per-partition verdicts</h2>
 {rows}
-<h2>Violations (first {max_violations})</h2><ul>{vio_rows}</ul>
+<h2>Violation samples (per constraint, &le;{max_violations} total)</h2><ul>{vio_rows}</ul>
 </body></html>
 """
 

@@ -147,6 +147,23 @@ def test_report_renderers(run_result, tmp_path):
     assert os.path.exists(p) and p.endswith("report_7_20260101_000000.txt")
 
 
+def test_report_violation_sample_is_stratified(spark, run_result):
+    """The violation listing samples PER CONSTRAINT: a constraint with 3
+    violations still shows up even when another has thousands (a bare
+    limit() would return an arbitrary single-constraint slice at scale)."""
+    rows = [(f"big{i}", "huge_constraint", "p00") for i in range(5000)]
+    rows += [(f"rare{i}", "rare_constraint", "p01") for i in range(3)]
+    vio = spark.createDataFrame(
+        rows, "clip_id string, constraint_id string, part_key string"
+    )
+    txt = render_txt(run_result.verdicts, run_result.summary, vio, "s1", 8,
+                     max_violations=100)
+    assert "rare_constraint" in txt and "huge_constraint" in txt
+    assert txt.count("rare_constraint") == 3
+    # per-constraint cap: 100 // 2 constraints = 50 of the huge one
+    assert txt.count("huge_constraint") == 50
+
+
 def test_image_metrics_plumbing(spark):
     rows = [
         ("img_ok", encode_fake_image(1, 16, 8)),
