@@ -85,6 +85,7 @@ class ValidationJob:
 
         completed: list[str] = []
         prev = None
+        resume_rejected: str | None = None
         if _merge_prev is not None:
             # run_incremental: skip the given partitions and carry their
             # verdicts/violations forward from the given COMPLETE run
@@ -93,6 +94,17 @@ class ValidationJob:
             prev = self.manifests.latest()
             if prev is not None and prev.status != "complete":
                 completed = self.manifests.completed_partitions(prev)
+                # resume is only sound if the input is STILL the table the
+                # crashed run validated: a schema change in between means
+                # the carried verdicts describe different data — fall back
+                # to a full run rather than merge stale partitions
+                prev_schema = prev.input_lineage.get("schema")
+                cur_schema_chk = {
+                    f.name: f.dataType.simpleString() for f in clips.schema.fields
+                }
+                if prev_schema is not None and prev_schema != cur_schema_chk:
+                    completed = []
+                    resume_rejected = "schema_changed_since_crashed_run"
         m = self.manifests.start_run(suite, input_files=input_files)
         if _merge_prev is not None and prev is not None:
             m.input_lineage["incremental_from_run"] = prev.run_id
@@ -103,6 +115,8 @@ class ValidationJob:
             m.input_lineage["source"] = lineage
         if completed:
             m.input_lineage["resumed_from_partitions"] = sorted(completed)
+        if resume_rejected:
+            m.input_lineage["resume_rejected"] = resume_rejected
 
         # schema-evolution guard: record this run's input schema and diff it
         # against the last COMPLETE run's, so a snapshot that silently

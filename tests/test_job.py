@@ -369,6 +369,31 @@ def test_job_schema_evolution_recorded(spark, clips_dir, tmp_path):
     assert jr3.manifest.input_lineage["schema_evolution"]["vs_run"] == jr2.manifest.run_id
 
 
+def test_job_resume_rejected_on_schema_change(spark, clips_dir, tmp_path):
+    """Resuming a crashed run is only sound when the input is still the
+    table that run validated: a schema change in between falls back to a
+    full run (no stale merged verdicts) and records why."""
+    out = str(tmp_path / "job_schema_resume")
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(400)
+    job = ValidationJob(_suite(), out)
+    jr1 = job.run(clips, payload=False)
+    m1 = job.manifests.load(jr1.manifest.run_id)
+    done = [pk for pk in m1.partitions if pk != GLOBAL_PART][:2]
+    m1.partitions = {pk: m1.partitions[pk] for pk in done}
+    m1.status = "running"
+    job.manifests.save(m1)
+
+    evolved = clips.withColumn("sr_hz", F.col("sr_hz").cast("long"))
+    jr2 = job.run(evolved, payload=False, resume=True)
+    assert "resumed_from_partitions" not in jr2.manifest.input_lineage
+    assert jr2.manifest.input_lineage["resume_rejected"] \
+        == "schema_changed_since_crashed_run"
+    # every partition re-validated on the evolved input (n_rows all fresh)
+    pks = {r["part_key"] for r in jr2.result.verdicts.collect()
+           if r["constraint_id"] == "dur_range"}
+    assert set(done) <= pks
+
+
 def test_continuous_validation_example(spark, clips_dir, tmp_path):
     """examples/continuous_validation.py composes the ops lifecycle
     end-to-end: full run -> baseline -> incremental run -> per-partition
