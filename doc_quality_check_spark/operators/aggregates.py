@@ -238,6 +238,68 @@ def drift_psi_by_group(
     )
 
 
+def drift_ks_by_group(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Per-group KS statistic → (group, ks) from two GROUPED histograms —
+    the ordered twin of :func:`drift_psi_by_group`: cumulative CDFs run in
+    per-group windows, one grouped max over the gap, all groups in ONE
+    plan. Same statistic as the global :func:`drift_ks` per group."""
+    j = _hist_pair(current_hist, baseline_hist, (group_col,)).withColumn(
+        "bucket_num", F.expr("try_cast(bucket AS double)")
+    )
+    wcum = Window.partitionBy(group_col).orderBy(
+        F.asc_nulls_first("bucket_num"), F.asc("bucket")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(group_col)
+    cdf_c = F.try_divide(F.sum("c_cnt").over(wcum), F.sum("c_cnt").over(wall))
+    cdf_b = F.try_divide(F.sum("b_cnt").over(wcum), F.sum("b_cnt").over(wall))
+    return (
+        j.select(group_col, F.abs(cdf_c - cdf_b).alias("d"))
+        .groupBy(group_col)
+        .agg(F.max("d").alias("ks"))
+    )
+
+
+def drift_w1_by_group(
+    current_hist: DataFrame,
+    baseline_hist: DataFrame,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Per-group Wasserstein-1 → (group, w1) from two GROUPED numeric-bucket
+    histograms, all groups in one plan. Same statistic and NULL semantics
+    as the global :func:`drift_w1` per group: NULL when either side has no
+    numeric mass over the group's merged support (such groups may also be
+    entirely absent when no bucket is numeric — the runner treats both as
+    an unattestable bound)."""
+    j = (
+        _hist_pair(current_hist, baseline_hist, (group_col,))
+        .withColumn("x", F.expr("try_cast(bucket AS double)"))
+        .filter(F.col("x").isNotNull())
+    )
+    wcum = Window.partitionBy(group_col).orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(group_col)
+    ct = F.sum("c_cnt").over(wall)
+    bt = F.sum("b_cnt").over(wall)
+    cdf_c = F.try_divide(F.sum("c_cnt").over(wcum), ct)
+    cdf_b = F.try_divide(F.sum("b_cnt").over(wcum), bt)
+    gap = F.lead("x").over(Window.partitionBy(group_col).orderBy("x")) - F.col("x")
+    step = j.select(
+        group_col, ct.alias("ct"), bt.alias("bt"),
+        (F.abs(cdf_c - cdf_b) * gap).alias("a"),
+    )
+    return step.groupBy(group_col).agg(
+        F.when(
+            (F.count("*") > 0) & (F.max("ct") > 0) & (F.max("bt") > 0),
+            F.coalesce(F.sum("a"), F.lit(0.0)),
+        ).alias("w1")
+    )
+
+
 def drift_chi2_by_group(
     current_hist: DataFrame,
     baseline_hist: DataFrame,

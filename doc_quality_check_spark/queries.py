@@ -20,9 +20,11 @@ from doc_quality_check_spark.operators.aggregates import (
     drift_chi2,
     drift_chi2_by_group,
     drift_ks,
+    drift_ks_by_group,
     drift_psi,
     drift_psi_by_group,
     drift_w1,
+    drift_w1_by_group,
 )
 from doc_quality_check_spark.operators.joins import (
     duplicate_keys,
@@ -535,6 +537,103 @@ ORDER BY grp
 """
 
 
+def q_drift_ks_by_group(spark, sf):
+    """Per-cohort KS in one grouped plan (per-group cumulative CDF
+    windows — the ordered per-partition drift statistic)."""
+    ev = t(spark, sf, "events")
+
+    def ghist(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                (F.col("user_id") % 10).alias("grp"),
+                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+            )
+            .agg(F.count("*").alias("count"))
+        )
+
+    return (
+        drift_ks_by_group(ghist("click"), ghist("view"), "grp")
+        .select("grp", F.round("ks", 4).alias("ks"))
+        .orderBy("grp")
+    )
+
+
+SQL_DRIFT_KS_BY_GROUP = """
+WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                    count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
+             coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base
+        ON cur.grp = base.grp AND cur.bucket = base.bucket),
+cdf AS (SELECT grp,
+               sum(c_cnt) OVER (PARTITION BY grp ORDER BY bucket) * 1.0
+                 / sum(c_cnt) OVER (PARTITION BY grp) AS cc,
+               sum(b_cnt) OVER (PARTITION BY grp ORDER BY bucket) * 1.0
+                 / sum(b_cnt) OVER (PARTITION BY grp) AS cb
+        FROM j)
+SELECT grp, round(max(abs(cc - cb)), 4) AS ks FROM cdf
+GROUP BY grp ORDER BY grp
+"""
+
+
+def q_drift_w1_by_group(spark, sf):
+    """Per-cohort Wasserstein-1 in one grouped plan (per-group CDF gap x
+    bucket distance — per-partition drift magnitude in value units)."""
+    ev = t(spark, sf, "events")
+
+    def ghist(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                (F.col("user_id") % 10).alias("grp"),
+                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+            )
+            .agg(F.count("*").alias("count"))
+        )
+
+    return (
+        drift_w1_by_group(ghist("click"), ghist("view"), "grp")
+        .select("grp", F.round("w1", 4).alias("w1"))
+        .orderBy("grp")
+    )
+
+
+SQL_DRIFT_W1_BY_GROUP = """
+WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                    count(*) AS c_cnt
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
+                count(*) AS b_cnt
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
+             coalesce(cur.bucket, base.bucket) AS bucket,
+             coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
+      FROM cur FULL OUTER JOIN base
+        ON cur.grp = base.grp AND cur.bucket = base.bucket),
+cdf AS (SELECT grp, bucket,
+               sum(c_cnt) OVER (PARTITION BY grp) AS ct,
+               sum(b_cnt) OVER (PARTITION BY grp) AS bt,
+               sum(c_cnt) OVER (PARTITION BY grp ORDER BY bucket) * 1.0
+                 / sum(c_cnt) OVER (PARTITION BY grp) AS cc,
+               sum(b_cnt) OVER (PARTITION BY grp ORDER BY bucket) * 1.0
+                 / sum(b_cnt) OVER (PARTITION BY grp) AS cb
+        FROM j),
+step AS (SELECT grp, ct, bt,
+                abs(cc - cb) * (lead(bucket) OVER (PARTITION BY grp ORDER BY bucket)
+                                - bucket) AS a
+         FROM cdf)
+SELECT grp, round(CASE WHEN count(*) > 0 AND max(ct) > 0 AND max(bt) > 0
+                  THEN coalesce(sum(a), 0.0) END, 4) AS w1
+FROM step GROUP BY grp ORDER BY grp
+"""
+
+
 def q_drift_chi2_by_group(spark, sf):
     """Per-cohort chi-squared/Cramér's V in one grouped plan — the
     categorical twin of drift_psi_by_group (per-Iceberg-partition drift on
@@ -658,6 +757,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_chi2": q_drift_chi2,
     "drift_psi_by_group": q_drift_psi_by_group,
     "drift_chi2_by_group": q_drift_chi2_by_group,
+    "drift_ks_by_group": q_drift_ks_by_group,
+    "drift_w1_by_group": q_drift_w1_by_group,
 }
 
 from doc_quality_check_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
@@ -687,6 +788,8 @@ ORACLES: dict[str, str] = {
     "drift_chi2": SQL_DRIFT_CHI2,
     "drift_psi_by_group": SQL_DRIFT_PSI_BY_GROUP,
     "drift_chi2_by_group": SQL_DRIFT_CHI2_BY_GROUP,
+    "drift_ks_by_group": SQL_DRIFT_KS_BY_GROUP,
+    "drift_w1_by_group": SQL_DRIFT_W1_BY_GROUP,
 }
 
 ORACLES.update(ORACLES_EXT)

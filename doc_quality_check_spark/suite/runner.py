@@ -551,14 +551,8 @@ class SuiteRunner:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")
             if _param_bool(p.get("per_partition", False)):
                 # per-partition drift: ONE grouped plan over all partitions
-                # (drift_psi_by_group / drift_chi2_by_group), one verdict
-                # row per part_key — the north rule's per-partition
-                # pass/fail applied to drift
-                if check.kind not in ("drift_psi", "drift_chi2"):
-                    raise ValueError(
-                        f"check {cid}: per_partition drift is implemented for "
-                        f"drift_psi and drift_chi2 only (got {check.kind})"
-                    )
+                # (drift_*_by_group), one verdict row per part_key — the
+                # north rule's per-partition pass/fail applied to drift
                 if not self.suite.partition_by:
                     raise ValueError(
                         f"check {cid}: per_partition drift needs suite.partition_by"
@@ -571,9 +565,17 @@ class SuiteRunner:
                     )
                 from doc_quality_check_spark.operators.aggregates import (
                     drift_chi2_by_group,
+                    drift_ks_by_group,
                     drift_psi_by_group,
+                    drift_w1_by_group,
                 )
 
+                grouped = {
+                    "drift_psi": (drift_psi_by_group, "psi", "max_psi", 0.2),
+                    "drift_ks": (drift_ks_by_group, "ks", "max_ks", 0.1),
+                    "drift_w1": (drift_w1_by_group, "w1", "max_w1", 1.0),
+                    "drift_chi2": (drift_chi2_by_group, "cramers_v", "max_v", 0.1),
+                }
                 cur_g = (
                     df.select(
                         part_key_col(self.suite.partition_by).alias("grp"),
@@ -591,23 +593,19 @@ class SuiteRunner:
                     "bucket",
                     "count",
                 )
-                if check.kind == "drift_psi":
-                    mx = float(p.get("max_psi", 0.2))
-                    scored = drift_psi_by_group(cur_g, base_g, "grp").select(
-                        "grp", F.col("psi").alias("stat")
-                    )
-                else:
-                    mx = float(p.get("max_v", 0.1))
-                    scored = drift_chi2_by_group(cur_g, base_g, "grp").select(
-                        "grp", F.col("cramers_v").alias("stat")
-                    )
-                # verdicts only for partitions present in the CURRENT input:
-                # a baseline-only partition must not enter the verdict table
-                # (record_partitions would mark a nonexistent partition
-                # complete, corrupting the resume/incremental skip set)
-                scored = scored.join(
-                    cur_g.select("grp").distinct(), "grp", "left_semi"
+                fn, stat_col, mx_key, mx_default = grouped[check.kind]
+                mx = float(p.get(mx_key, mx_default))
+                scored = fn(cur_g, base_g, "grp").select(
+                    "grp", F.col(stat_col).alias("stat")
                 )
+                # verdicts for EXACTLY the partitions present in the CURRENT
+                # input: a baseline-only partition must not enter the verdict
+                # table (record_partitions would mark a nonexistent partition
+                # complete, corrupting the resume/incremental skip set), and
+                # a current partition the statistic couldn't score (w1 with
+                # no numeric support drops the group) gets a NULL stat ->
+                # failed verdict, not a silently missing row
+                scored = cur_g.select("grp").distinct().join(scored, "grp", "left")
                 rows = [
                     (r["grp"], cid, None, 0,
                      bool(r["stat"] is not None and r["stat"] <= mx),

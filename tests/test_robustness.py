@@ -144,6 +144,22 @@ def test_drift_psi_by_group_matches_global_per_group(spark):
         assert gc[g]["cramers_v"] == pytest.approx(want["cramers_v"], rel=1e-9)
         assert gc[g]["dof"] == want["dof"]
 
+    # grouped KS and W1 equal the global operators per group
+    from doc_quality_check_spark.operators.aggregates import (
+        drift_ks,
+        drift_ks_by_group,
+        drift_w1,
+        drift_w1_by_group,
+    )
+
+    gk = {r["grp"]: r["ks"] for r in drift_ks_by_group(cur, base, "grp").collect()}
+    gw = {r["grp"]: r["w1"] for r in drift_w1_by_group(cur, base, "grp").collect()}
+    for g in range(3):
+        c_g = cur.filter(F.col("grp") == g).select("bucket", "count")
+        b_g = base.filter(F.col("grp") == g).select("bucket", "count")
+        assert gk[g] == pytest.approx(drift_ks(c_g, b_g).first()["ks"], rel=1e-9)
+        assert gw[g] == pytest.approx(drift_w1(c_g, b_g).first()["w1"], rel=1e-9)
+
 
 def test_entropy_range_check(spark, clips_dir):
     """entropy_range: bits of the column distribution; a constant column
@@ -199,6 +215,9 @@ def test_per_partition_drift_verdicts(spark, clips_dir):
             Check("sr_chi2_pp", "drift_chi2", "sr_hz",
                   {"baseline_table": "snap", "max_v": 0.05,
                    "per_partition": True}),
+            Check("sr_w1_pp", "drift_w1", "sr_hz",
+                  {"baseline_table": "snap", "max_w1": 100.0,
+                   "per_partition": True}),
         ],
     )
     res = SuiteRunner(suite).run(cur, baseline=snap, payload=False)
@@ -214,6 +233,13 @@ def test_per_partition_drift_verdicts(spark, clips_dir):
     assert chi[bad]["passed"] is False and chi[bad]["metric_value"] > 0.05
     for pk in parts[1:]:
         assert chi[pk]["passed"] is True and chi[pk]["metric_value"] < 1e-9
+    w1v = {r["part_key"]: r for r in res.verdicts.collect()
+           if r["constraint_id"] == "sr_w1_pp"}
+    assert set(w1v) == set(parts)
+    # the corrupted partition moved some mass to 99999 — huge W1
+    assert w1v[bad]["passed"] is False and w1v[bad]["metric_value"] > 100.0
+    for pk in parts[1:]:
+        assert w1v[pk]["passed"] is True and w1v[pk]["metric_value"] < 1e-9
     res.unpersist()
 
     # baseline without part_key -> clear error
