@@ -292,9 +292,11 @@ def drift_w1_by_group(
         group_col, ct.alias("ct"), bt.alias("bt"),
         (F.abs(cdf_c - cdf_b) * gap).alias("a"),
     )
+    # unlike the global form, a group always has >= 1 row here (groupBy
+    # never emits empty groups) — only the one-sided-mass guards are live
     return step.groupBy(group_col).agg(
         F.when(
-            (F.count("*") > 0) & (F.max("ct") > 0) & (F.max("bt") > 0),
+            (F.max("ct") > 0) & (F.max("bt") > 0),
             F.coalesce(F.sum("a"), F.lit(0.0)),
         ).alias("w1")
     )
@@ -327,18 +329,30 @@ def drift_chi2_by_group(
         + F.when(e2 > 0, d2 * d2 / e2).otherwise(F.lit(0.0))
     )
     agg = (
-        j.select(group_col, term.alias("term"), (ct + bt).alias("n"))
+        j.select(
+            group_col, term.alias("term"), (ct + bt).alias("n"),
+            ct.alias("ct"), bt.alias("bt"),
+        )
         .groupBy(group_col)
         .agg(
-            F.sum("term").alias("chi2"),
+            F.sum("term").alias("raw_chi2"),
             F.max("n").alias("n"),
+            F.max("ct").alias("ctm"),
+            F.max("bt").alias("btm"),
             (F.count("*") - F.lit(1)).cast("long").alias("dof"),
         )
     )
+    # same one-sided NULL rule as the global drift_chi2: a group present on
+    # only one side (a brand-new or vanished partition) must not score a
+    # degenerate chi2 of 0 and read as zero drift
+    both = (F.col("ctm") > 0) & (F.col("btm") > 0)
     return agg.select(
         group_col,
-        "chi2",
-        F.sqrt(F.try_divide(F.col("chi2"), F.col("n").cast("double"))).alias("cramers_v"),
+        F.when(both, F.col("raw_chi2")).alias("chi2"),
+        F.when(
+            both,
+            F.sqrt(F.try_divide(F.col("raw_chi2"), F.col("n").cast("double"))),
+        ).alias("cramers_v"),
         "dof",
     )
 
@@ -407,13 +421,23 @@ def drift_chi2(current_hist: DataFrame, baseline_hist: DataFrame) -> DataFrame:
         + F.when(e2 > 0, d2 * d2 / e2).otherwise(F.lit(0.0))
     )
     agg = j.agg(
-        F.sum(term).alias("chi2"),
+        F.sum(term).alias("raw_chi2"),
         F.max(F.col("ct") + F.col("bt")).alias("n"),
+        F.max("ct").alias("ctm"),
+        F.max("bt").alias("btm"),
         (F.count("*") - F.lit(1)).cast("long").alias("dof"),
     )
+    # one-sided mass (a sample that disappeared / never existed) is NOT
+    # 'zero drift': expected == observed identically, chi2 degenerates to
+    # 0 — emit NULL so the suite check fails instead of silently passing
+    # (same rule as drift_w1's one-sided NULL)
+    both = (F.col("ctm") > 0) & (F.col("btm") > 0)
     return agg.select(
-        "chi2",
-        F.sqrt(F.try_divide(F.col("chi2"), F.col("n").cast("double"))).alias("cramers_v"),
+        F.when(both, F.col("raw_chi2")).alias("chi2"),
+        F.when(
+            both,
+            F.sqrt(F.try_divide(F.col("raw_chi2"), F.col("n").cast("double"))),
+        ).alias("cramers_v"),
         "dof",
     )
 

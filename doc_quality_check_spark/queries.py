@@ -489,21 +489,28 @@ FROM step
 """
 
 
+def _grouped_event_hist(ev, etype):
+    """Cohort histogram (grp, bucket, count) shared by the four by-group
+    drift queries. NULL values are excluded on BOTH engines: a NULL bucket
+    would sort NULLS FIRST in Spark window orders but NULLS LAST in
+    DuckDB's ORDER BY — a latent hash divergence (driver-contract gotcha),
+    and a NULL bucket is a completeness concern, not a distribution one."""
+    return (
+        ev.filter((F.col("event_type") == etype) & F.col("value").isNotNull())
+        .groupBy(
+            (F.col("user_id") % 10).alias("grp"),
+            F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("count"))
+    )
+
+
 def q_drift_psi_by_group(spark, sf):
     """A12 drift at partition granularity: PSI per user cohort in ONE plan
     (grouped histograms + (group,bucket) equi-join + group window) — the
     per-Iceberg-partition drift scan, not a driver loop of per-group jobs."""
     ev = t(spark, sf, "events")
-
-    def ghist(etype):
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .groupBy(
-                (F.col("user_id") % 10).alias("grp"),
-                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
-            )
-            .agg(F.count("*").alias("count"))
-        )
+    ghist = lambda etype: _grouped_event_hist(ev, etype)  # noqa: E731
 
     return (
         drift_psi_by_group(ghist("click"), ghist("view"), "grp")
@@ -515,10 +522,10 @@ def q_drift_psi_by_group(spark, sf):
 SQL_DRIFT_PSI_BY_GROUP = """
 WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                     count(*) AS c_cnt
-             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1, 2),
 base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                 count(*) AS b_cnt
-         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2),
 j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
              coalesce(cur.bucket, base.bucket) AS bucket,
              coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
@@ -541,16 +548,7 @@ def q_drift_ks_by_group(spark, sf):
     """Per-cohort KS in one grouped plan (per-group cumulative CDF
     windows — the ordered per-partition drift statistic)."""
     ev = t(spark, sf, "events")
-
-    def ghist(etype):
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .groupBy(
-                (F.col("user_id") % 10).alias("grp"),
-                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
-            )
-            .agg(F.count("*").alias("count"))
-        )
+    ghist = lambda etype: _grouped_event_hist(ev, etype)  # noqa: E731
 
     return (
         drift_ks_by_group(ghist("click"), ghist("view"), "grp")
@@ -562,10 +560,10 @@ def q_drift_ks_by_group(spark, sf):
 SQL_DRIFT_KS_BY_GROUP = """
 WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                     count(*) AS c_cnt
-             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1, 2),
 base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                 count(*) AS b_cnt
-         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2),
 j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
              coalesce(cur.bucket, base.bucket) AS bucket,
              coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
@@ -586,16 +584,7 @@ def q_drift_w1_by_group(spark, sf):
     """Per-cohort Wasserstein-1 in one grouped plan (per-group CDF gap x
     bucket distance — per-partition drift magnitude in value units)."""
     ev = t(spark, sf, "events")
-
-    def ghist(etype):
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .groupBy(
-                (F.col("user_id") % 10).alias("grp"),
-                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
-            )
-            .agg(F.count("*").alias("count"))
-        )
+    ghist = lambda etype: _grouped_event_hist(ev, etype)  # noqa: E731
 
     return (
         drift_w1_by_group(ghist("click"), ghist("view"), "grp")
@@ -607,10 +596,10 @@ def q_drift_w1_by_group(spark, sf):
 SQL_DRIFT_W1_BY_GROUP = """
 WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                     count(*) AS c_cnt
-             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1, 2),
 base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                 count(*) AS b_cnt
-         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2),
 j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
              coalesce(cur.bucket, base.bucket) AS bucket,
              coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
@@ -639,16 +628,7 @@ def q_drift_chi2_by_group(spark, sf):
     categorical twin of drift_psi_by_group (per-Iceberg-partition drift on
     a categorical column, no per-group job loop)."""
     ev = t(spark, sf, "events")
-
-    def ghist(etype):
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .groupBy(
-                (F.col("user_id") % 10).alias("grp"),
-                F.floor(F.col("value") / 10).cast("long").alias("bucket"),
-            )
-            .agg(F.count("*").alias("count"))
-        )
+    ghist = lambda etype: _grouped_event_hist(ev, etype)  # noqa: E731
 
     return (
         drift_chi2_by_group(ghist("click"), ghist("view"), "grp")
@@ -665,10 +645,10 @@ def q_drift_chi2_by_group(spark, sf):
 SQL_DRIFT_CHI2_BY_GROUP = """
 WITH cur AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                     count(*) AS c_cnt
-             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1, 2),
 base AS (SELECT user_id % 10 AS grp, CAST(floor(value/10) AS BIGINT) AS bucket,
                 count(*) AS b_cnt
-         FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1, 2),
 j AS (SELECT coalesce(cur.grp, base.grp) AS grp,
              coalesce(cur.bucket, base.bucket) AS bucket,
              coalesce(c_cnt, 0) AS c_cnt, coalesce(b_cnt, 0) AS b_cnt
@@ -682,8 +662,9 @@ e AS (SELECT grp, c_cnt, b_cnt, ct, bt,
              (c_cnt + b_cnt) * 1.0 / (ct + bt) * ct AS e1,
              (c_cnt + b_cnt) * 1.0 / (ct + bt) * bt AS e2
       FROM t)
-SELECT grp, round(sum(term), 4) AS chi2,
-       round(sqrt(sum(term) / max(ct + bt)), 4) AS cramers_v,
+SELECT grp, round(CASE WHEN max(ct) > 0 AND max(bt) > 0 THEN sum(term) END, 4) AS chi2,
+       round(CASE WHEN max(ct) > 0 AND max(bt) > 0
+             THEN sqrt(sum(term) / max(ct + bt)) END, 4) AS cramers_v,
        CAST(count(*) - 1 AS BIGINT) AS dof
 FROM (SELECT grp, ct, bt,
              CASE WHEN e1 > 0 THEN (c_cnt - e1) * (c_cnt - e1) / e1 ELSE 0.0 END
@@ -719,8 +700,9 @@ e AS (SELECT c_cnt, b_cnt, ct, bt,
              (c_cnt + b_cnt) * 1.0 / (ct + bt) * ct AS e1,
              (c_cnt + b_cnt) * 1.0 / (ct + bt) * bt AS e2
       FROM j, tot)
-SELECT round(sum(term), 4) AS chi2,
-       round(sqrt(sum(term) / max(ct + bt)), 4) AS cramers_v,
+SELECT round(CASE WHEN max(ct) > 0 AND max(bt) > 0 THEN sum(term) END, 4) AS chi2,
+       round(CASE WHEN max(ct) > 0 AND max(bt) > 0
+             THEN sqrt(sum(term) / max(ct + bt)) END, 4) AS cramers_v,
        CAST(count(*) - 1 AS BIGINT) AS dof
 FROM (SELECT ct, bt,
              CASE WHEN e1 > 0 THEN (c_cnt - e1) * (c_cnt - e1) / e1 ELSE 0.0 END

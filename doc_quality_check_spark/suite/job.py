@@ -227,12 +227,21 @@ class ValidationJob:
         ts = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
         paths = {}
         rep_dir = os.path.join(self.out_dir, "reports")
+        # sample once: both renderers consume the same collected rows
+        # (collect_violation_sample passes a list straight through)
+        vio_sample = None
+        if {"txt", "html"} & set(formats):
+            from doc_quality_check_spark.suite.report import (
+                collect_violation_sample,
+            )
+
+            vio_sample = collect_violation_sample(res.violations)
         for fmt in formats:
             if fmt == "txt":
-                content = render_txt(res.verdicts, res.summary, res.violations,
+                content = render_txt(res.verdicts, res.summary, vio_sample,
                                      suite.name, m.run_id)
             elif fmt == "html":
-                content = render_html(res.verdicts, res.summary, res.violations,
+                content = render_html(res.verdicts, res.summary, vio_sample,
                                       suite.name, m.run_id)
             else:
                 content = export_json(res.verdicts, res.summary,
@@ -278,6 +287,15 @@ class ValidationJob:
         prev_m = self.manifests.latest_complete()
         part_cols = self.suite.partition_by
         if prev_m is None or not part_cols:
+            return self.run(clips, resume=False, **run_kwargs)
+        # same soundness rule as crash-resume: carried verdicts describe the
+        # table the prior run validated — if the schema changed since (a
+        # re-typed column coerces through snapshot_diff's NULL-safe compare,
+        # an added column is excluded from compare_cols entirely), fall back
+        # to a full run; the manifest's schema_evolution block records why
+        prev_schema = prev_m.input_lineage.get("schema")
+        cur_schema = {f.name: f.dataType.simpleString() for f in clips.schema.fields}
+        if prev_schema is not None and prev_schema != cur_schema:
             return self.run(clips, resume=False, **run_kwargs)
         if compare_cols is None:
             shared = set(prev_clips.columns) & set(clips.columns)

@@ -26,22 +26,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _fetch(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
+def collect_violation_sample(violations, max_violations: int = 100) -> list[dict]:
+    """Deterministic STRATIFIED violation sample as collected dicts: a bare
+    limit() at 10^12 rows returns an arbitrary slice dominated by one
+    constraint; this caps per constraint_id and orders BREADTH-FIRST (all
+    constraints' first examples before anyone's second) so every failing
+    constraint surfaces even when their count exceeds the row budget.
+    Accepts an already-collected list (pass-through) so callers rendering
+    several formats pay the sampling jobs once."""
+    if isinstance(violations, list):
+        return violations[: max_violations]
+    per_c = max(1, max_violations // max(1, _n_constraints(violations)))
+    w = Window.partitionBy("constraint_id").orderBy("clip_id")
+    return [r.asDict() for r in (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_c)
+        .orderBy("_rn", "constraint_id", "clip_id")
+        .limit(max_violations)
+        .drop("_rn")
+        .collect()
+    )]
+
+
+def _fetch(verdicts: DataFrame, summary: DataFrame, violations,
            max_violations: int):
     vs = [r.asDict() for r in
           verdicts.orderBy("part_key", "constraint_id").collect()]
     sm = summary.first().asDict() if summary is not None else {}
-    # STRATIFIED sample: a bare limit() at 10^12 rows returns an arbitrary
-    # slice dominated by one constraint; cap per constraint instead so the
-    # listing shows deterministic examples of EVERY failing constraint
-    per_c = max(1, max_violations // max(1, _n_constraints(violations)))
-    w = Window.partitionBy("constraint_id").orderBy("clip_id")
-    vio = [r.asDict() for r in (
-        violations.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= per_c).drop("_rn")
-        .orderBy("constraint_id", "clip_id")
-        .limit(max_violations).collect()
-    )]
+    vio = collect_violation_sample(violations, max_violations)
     return vs, sm, vio
 
 
@@ -50,7 +62,7 @@ def _n_constraints(violations: DataFrame) -> int:
     return violations.select("constraint_id").distinct().count()
 
 
-def render_txt(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
+def render_txt(verdicts: DataFrame, summary: DataFrame, violations,
                suite_name: str, run_id: int, max_violations: int = 100) -> str:
     vs, sm, vio = _fetch(verdicts, summary, violations, max_violations)
     lines = [
@@ -80,7 +92,7 @@ def render_txt(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
     return "\n".join(lines) + "\n"
 
 
-def render_html(verdicts: DataFrame, summary: DataFrame, violations: DataFrame,
+def render_html(verdicts: DataFrame, summary: DataFrame, violations,
                 suite_name: str, run_id: int, max_violations: int = 100) -> str:
     vs, sm, vio = _fetch(verdicts, summary, violations, max_violations)
     e = _html.escape

@@ -400,7 +400,8 @@ def test_continuous_validation_example(spark, clips_dir, tmp_path):
     drift localization + schema record (asserts internally)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/examples")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
     from continuous_validation import lifecycle
 
     lifecycle(spark, str(tmp_path / "continuous"), clips_dir)

@@ -98,6 +98,13 @@ def test_drift_chi2_closed_form(spark):
     r0 = drift_chi2(hist({"a": 4, "b": 6}), hist({"a": 4, "b": 6})).first()
     assert r0["chi2"] == pytest.approx(0.0)
     assert r0["cramers_v"] == pytest.approx(0.0)
+    # one-sided mass degenerates chi2 to 0 identically — that is NOT 'zero
+    # drift': NULL, so the suite check fails (same rule as drift_w1)
+    r1 = drift_chi2(
+        hist({"a": 4, "b": 6}),
+        hist({"a": 1}).filter("count < 0"),  # empty baseline side
+    ).first()
+    assert r1["chi2"] is None and r1["cramers_v"] is None
 
 
 def test_drift_psi_by_group_matches_global_per_group(spark):

@@ -163,6 +163,20 @@ def test_report_violation_sample_is_stratified(spark, run_result):
     # per-constraint cap: 100 // 2 constraints = 50 of the huge one
     assert txt.count("huge_constraint") == 50
 
+    # breadth-first under pressure: 150 failing constraints, budget 100 ->
+    # 100 DISTINCT constraints with one example each, never 100 of one
+    many = spark.createDataFrame(
+        [(f"c{i}_{j}", f"constraint_{i:03d}", "p00")
+         for i in range(150) for j in range(5)],
+        "clip_id string, constraint_id string, part_key string",
+    )
+    from doc_quality_check_spark.suite.report import collect_violation_sample
+    sample = collect_violation_sample(many, max_violations=100)
+    assert len(sample) == 100
+    assert len({r["constraint_id"] for r in sample}) == 100
+    # pass-through: an already-collected list costs no Spark job
+    assert collect_violation_sample(sample, max_violations=10) == sample[:10]
+
 
 def test_image_metrics_plumbing(spark):
     rows = [
