@@ -92,13 +92,17 @@ def read_stream_drift(
     output_dir: str,
     baseline_hist: DataFrame,
     max_psi: float | None = None,
+    statistic: str = "psi",
 ) -> DataFrame:
     """Score the stored windowed histograms against a static baseline
     (bucket, count) → (window_start, window_end, psi[, passed]).
 
     Latest-wins per (window, bucket) across micro-batch updates, then ONE
-    grouped PSI plan over all windows (drift_psi_by_group with the window
-    start as the group) — never a per-window job loop."""
+    grouped plan over all windows (drift_*_by_group with the window start
+    as the group) — never a per-window job loop. ``statistic``: "psi"
+    (default) or "chi2" (Cramér's V — the scale-free categorical score;
+    the output column is still named ``psi`` so downstream consumers and
+    ``max_psi`` thresholding are statistic-agnostic)."""
     hist = spark.read.parquet(os.path.join(output_dir, "hist"))
     w = Window.partitionBy("window_start", "bucket").orderBy(
         F.desc("batch_id")
@@ -118,9 +122,21 @@ def read_stream_drift(
         bounds.select(F.col("window_start").alias("grp"))
         .crossJoin(F.broadcast(baseline_hist.select("bucket", "count")))
     )
-    scored = drift_psi_by_group(cur, base, "grp").select(
-        F.col("grp").alias("window_start"), "psi"
-    )
+    if statistic == "psi":
+        scored = drift_psi_by_group(cur, base, "grp").select(
+            F.col("grp").alias("window_start"), "psi"
+        )
+    elif statistic == "chi2":
+        from doc_quality_check_spark.operators.aggregates import (
+            drift_chi2_by_group,
+        )
+
+        scored = drift_chi2_by_group(cur, base, "grp").select(
+            F.col("grp").alias("window_start"),
+            F.col("cramers_v").alias("psi"),
+        )
+    else:
+        raise ValueError(f"unknown drift statistic: {statistic!r}")
     out = scored.join(bounds, "window_start").select(
         "window_start", "window_end", "psi"
     )

@@ -124,6 +124,12 @@ def test_stream_drift_psi_per_window(spark, tmp_path_factory):
     hist = spark.read.parquet(out + "/hist")
     assert hist.count() > hist.select("window_start", "bucket").distinct().count()
 
+    # same sink scored with the categorical statistic (Cramér's V)
+    chi = {r["window_start"].strftime("%H:%M"): r for r in read_stream_drift(
+        spark, out, baseline, max_psi=0.1, statistic="chi2").collect()}
+    assert chi["10:00"]["psi"] < 1e-6 and chi["10:00"]["passed"] is True
+    assert chi["10:05"]["psi"] > 0.1 and chi["10:05"]["passed"] is False
+
 
 @pytest.fixture(scope="module")
 def run_result(spark, clips_dir):
