@@ -277,6 +277,10 @@ class SuiteRunner:
                 # digest job — it can't fuse into the scalar aggregate
                 if c.kind == "quantile_range" and c.params.get("method") == "tdigest":
                     return False
+                # per-partition completeness is a GROUPED aggregate emitting
+                # one verdict row per part_key — not fusable with scalars
+                if _param_bool(c.params.get("per_partition", False)):
+                    return False
                 return c.kind in _SIMPLE_AGG_KINDS
 
             simple = [c for c in table_checks if _is_simple(c)]
@@ -480,6 +484,23 @@ class SuiteRunner:
             metric = float(n_viol)
             passed = n_viol == 0
         elif check.kind == "completeness_min":
+            if _param_bool(p.get("per_partition", False)) and self.suite.partition_by:
+                # one verdict row per part_key from ONE grouped aggregate —
+                # completeness localized the same way per-partition drift is
+                mn = float(p.get("min_ratio", 1.0))
+                grouped = df.groupBy(
+                    part_key_col(self.suite.partition_by).alias("grp")
+                ).agg(
+                    F.try_divide(F.count(check.column), F.count(F.lit(1))).alias("r"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                rows = [
+                    (r["grp"], cid, int(r["n"]), 0,
+                     bool(r["r"] is not None and r["r"] >= mn),
+                     float(r["r"]) if r["r"] is not None else 0.0)
+                    for r in grouped.collect()
+                ]
+                return rows, None
             row = df.agg(
                 F.try_divide(F.count(check.column), F.count(F.lit(1))).alias("r"),
                 F.count(F.lit(1)).alias("n"),

@@ -255,6 +255,40 @@ def test_per_partition_drift_verdicts(spark, clips_dir):
         SuiteRunner(suite).run(cur, baseline=flat, payload=False)
 
 
+def test_per_partition_completeness_verdicts(spark, clips_dir):
+    """completeness_min with per_partition=true: one verdict per part_key
+    from one grouped aggregate; only the partition whose column was nulled
+    fails, and global completeness still passes (dilution hides it)."""
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(800)
+    parts = sorted(r["part_key"] for r in clips.select("part_key").distinct().collect())
+    bad = parts[0]
+    cur = clips.withColumn(
+        "transcript",
+        F.when(F.col("part_key") == bad, F.lit(None)).otherwise(F.col("transcript")),
+    )
+    suite = CheckSuite(
+        name="pp_completeness", partition_by=["part_key"],
+        checks=[
+            Check("tr_complete_pp", "completeness_min", "transcript",
+                  {"min_ratio": 0.5, "per_partition": True}),
+            Check("tr_complete_global", "completeness_min", "transcript",
+                  {"min_ratio": 0.5}),
+        ],
+    )
+    res = SuiteRunner(suite).run(cur, payload=False)
+    rows = {r["part_key"]: r for r in res.verdicts.collect()
+            if r["constraint_id"] == "tr_complete_pp"}
+    assert set(rows) >= set(parts)
+    assert rows[bad]["passed"] is False and rows[bad]["metric_value"] == 0.0
+    assert rows[bad]["n_rows"] > 0
+    for pk in parts[1:]:
+        assert rows[pk]["passed"] is True
+    g = [r for r in res.verdicts.collect()
+         if r["constraint_id"] == "tr_complete_global"]
+    assert len(g) == 1 and g[0]["passed"] is True  # dilution: global blind
+    res.unpersist()
+
+
 def test_drift_w1_chi2_suite_roundtrip(spark, clips_dir):
     """drift_w1/drift_chi2 as declarative check kinds: self-baseline → zero
     drift passes; a baseline missing one codec → chi2 drift fails."""
