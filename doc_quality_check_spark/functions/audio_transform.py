@@ -94,7 +94,11 @@ def transform_clips(
             for buf, codec, sr_meta, dur_meta in zip(
                 pdf[payload_col], pdf[codec_col], pdf[sr_col], pdf[dur_col]
             ):
-                gain_db = trimmed = np.nan
+                # None (→ SQL NULL), not NaN: downstream completeness /
+                # is-null checks must distinguish 'transform not applied or
+                # decode failed' from a real measured value — matching the
+                # engine's in-band NULL error-row convention
+                gain_db = trimmed = None
                 err = None
                 out_buf, out_sr, out_dur = buf, sr_meta, dur_meta
                 try:
@@ -150,8 +154,10 @@ def transform_clips(
             out[payload_col] = new_payloads
             out[sr_col] = new_srs
             out[dur_col] = new_durs
-            out["gain_db"] = gains
-            out["trimmed_ms"] = trims
+            # nullable Float64 keeps None as NULL through the Arrow cast (a
+            # plain float64 series would silently coerce None back to NaN)
+            out["gain_db"] = pd.array(gains, dtype="Float64")
+            out["trimmed_ms"] = pd.array(trims, dtype="Float64")
             out["transform_error"] = errs
             yield out[col_names + [f.name for f in AUDIT_FIELDS]]
 

@@ -640,6 +640,16 @@ def prefix_sum(
                 continue
             if running is None:
                 running = int(b_off.value.get(int(pdf["__pid"].iloc[0]), 0))
+            if pdf[value_col].isna().any():
+                # fail fast with a readable message: a NULL arrives here as
+                # float NaN and astype('int64') would raise an opaque
+                # mid-job ValueError (and the driver-side totals above
+                # already coerced the same NULL's sum to 0, silently
+                # corrupting every later partition's offset)
+                raise ValueError(
+                    f"prefix_sum requires non-null '{value_col}' values; "
+                    "filter or fill NULLs before calling"
+                )
             vals = pdf[value_col].astype("int64")
             pdf[out_col] = vals.cumsum() + running
             running += int(vals.sum())

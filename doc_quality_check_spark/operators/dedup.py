@@ -682,6 +682,7 @@ def dedup_keep_best(
     score_col: str = "score",
     max_iter: int = 25,
     algorithm: str = "label",
+    broadcast_components: bool = True,
 ) -> DataFrame:
     """Cluster retention policy: keep exactly ONE row per near-duplicate
     cluster — the highest-``score_col`` member (ties → smallest id), the
@@ -691,7 +692,12 @@ def dedup_keep_best(
 
     Adds a ``cluster`` column (the component's min id). One component join +
     one per-cluster window; clusters are tiny so the window shuffle is
-    bounded by the pair graph, not the corpus."""
+    bounded by the pair graph, not the corpus. The components table has one
+    row per node in the PAIR graph — usually a small fraction of the corpus,
+    but on a pathological corpus (everything near-dups something) it can
+    approach corpus size and exceed driver/broadcast limits; pass
+    ``broadcast_components=False`` to fall back to a shuffle hash join
+    (same escape hatch as ``_verify_jaccard``'s ``broadcast_sizes``)."""
     from pyspark.sql import Window
 
     comp = (
@@ -701,8 +707,10 @@ def dedup_keep_best(
         # df may legitimately carry its own 'comp' column (same defense as
         # cluster_safe_split's __cc_* renames)
     )
+    if broadcast_components:
+        comp = F.broadcast(comp)
     joined = df.join(
-        F.broadcast(comp), df[id_col] == F.col("__kb_id"), "left"
+        comp, df[id_col] == F.col("__kb_id"), "left"
     ).drop("__kb_id")
     out = joined.withColumn(
         "cluster", F.coalesce(F.col("__kb_comp"), F.col(id_col))

@@ -715,6 +715,15 @@ WHERE {_hash_unit_sql('doc_id', 'strat')} <
       CASE WHEN lang = 'en' THEN 0.3 WHEN lang = 'de' THEN 1.0 ELSE 0.1 END
 """
 
+# shared factor table for the query AND its oracle: the DuckDB side joins
+# against a static copies range (table functions reject correlated bounds),
+# so the range bound is DERIVED from these factors — a factor change can
+# never silently truncate the oracle while the Spark side fans out further
+_UPSAMPLE_FACTORS = {"en": 2.0, "de": 2.5}
+# max copies per row = floor(max_fac) + 1 (the fractional extra copy)
+_UPSAMPLE_BOUND = int(max(_UPSAMPLE_FACTORS.values())) + 1
+
+
 def q_upsample_groups(spark, sf):
     """Deterministic per-group upsampling with replacement: 'en' docs repeat
     2x, 'de' ~2.5x (hash-selected fractional share), others once —
@@ -722,16 +731,14 @@ def q_upsample_groups(spark, sf):
     from doc_quality_check_spark.operators.sampling import upsample_groups
 
     d = t(spark, sf, "documents").select("doc_id", "lang")
-    return upsample_groups(d, "lang", {"en": 2.0, "de": 2.5}, id_col="doc_id")
+    return upsample_groups(d, "lang", _UPSAMPLE_FACTORS, id_col="doc_id")
 
 
-# static copies table (DuckDB table functions reject correlated bounds —
-# the 10-copy ceiling is far above any sane factor; a factor above it would
-# silently truncate, so keep factors < 10 or raise the bound LOUDLY)
 SQL_UPSAMPLE_GROUPS = f"""
 WITH f AS (
   SELECT doc_id, lang,
-         CASE WHEN lang = 'en' THEN 2.0 WHEN lang = 'de' THEN 2.5
+         CASE WHEN lang = 'en' THEN {_UPSAMPLE_FACTORS['en']}
+              WHEN lang = 'de' THEN {_UPSAMPLE_FACTORS['de']}
               ELSE 1.0 END AS fac,
          {_hash_unit_sql('doc_id', 'upsample')} AS u
   FROM documents
@@ -742,7 +749,7 @@ n AS (
               AS INT) AS n_copies
   FROM f
 ),
-nums AS (SELECT unnest(range(0, 10)) AS g)
+nums AS (SELECT unnest(range(0, {_UPSAMPLE_BOUND})) AS g)
 SELECT doc_id, lang, g AS copy_id
 FROM n JOIN nums ON nums.g < n.n_copies
 """
