@@ -3,17 +3,21 @@
 Audio is this engine's first-class modality (functions/audio.py, fully real).
 A training-data pipeline also carries image/video columns; this module
 provides the Spark-side plumbing — typed metadata schema, Arrow-batched
-``mapInPandas`` decode, batch-shape discipline — plus one REAL image codec:
+``mapInPandas`` decode, batch-shape discipline — plus two REAL image codecs:
 
 - ``decode_png`` is a from-scratch stdlib PNG reader (zlib inflate + full
   filter reconstruction, 8-bit gray/RGB/palette/alpha variants) — real
   PNGs produce real width/height/ink metrics end-to-end.
+- baseline JPEG decodes via :mod:`doc_quality_check_spark.functions.jpeg`
+  (from-scratch Huffman + dequant + IDCT; grayscale and YCbCr 4:4:4/4:2:2/
+  4:2:0, restart markers). Progressive JPEG raises NotImplementedError →
+  in-band error rows.
 - ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
   deterministic fixture format.
-- JPEG/video decode stays STUBBED behind NotImplementedError (no image/
-  video libraries exist in this environment); swap ``_decode_one`` /
-  the frame decoder for PIL/ffmpeg in production — the Spark plan (schema,
-  partitioning, per-batch decode, bytes-column pruning) does not change.
+- VIDEO decode stays STUBBED behind NotImplementedError (no video library
+  exists in this environment); swap the frame decoder for ffmpeg in
+  production — the Spark plan (schema, partitioning, per-batch decode,
+  bytes-column pruning) does not change.
 
 Reference parity: payload decode + per-page metrics is exactly the shape of
 /root/reference/utils/document_processor.py:92-207 (extract_page_data) —
@@ -193,10 +197,9 @@ def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
     if b[:8] == PNG_MAGIC:
         return decode_png(b)
     if b[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires an image library not present in this "
-            "environment — plug a real decoder into _decode_one"
-        )
+        from doc_quality_check_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise ValueError("unrecognized image container")
 
 
@@ -233,6 +236,78 @@ def image_metrics(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(gen, IMAGE_META_SCHEMA)
+
+
+# columns appended by with_image_metrics (suite/compiler.py's image row
+# kinds read these; suite/runner.py triggers the decode when a check
+# references one)
+IMAGE_METRIC_COLUMNS = (
+    "img_decode_ok",
+    "img_width",
+    "img_height",
+    "img_ink_ratio",
+    "img_luma_mean",
+    "img_error",
+)
+
+
+def with_image_metrics(
+    df: DataFrame, payload_col: str = "bytes"
+) -> DataFrame:
+    """Append ``img_decode_ok / img_width / img_height / img_ink_ratio /
+    img_luma_mean / img_error`` to every row in ONE ``mapInPandas`` decode
+    pass, dropping ``payload_col`` from the output — the image analog of
+    :func:`doc_quality_check_spark.functions.audio.with_audio_metrics`
+    (decode once, binary never shuffles). Decode failures are in-band
+    (img_decode_ok=false + img_error), never job failures; luma is NULL
+    (not NaN) when there are no pixels to measure, matching the engine's
+    NULL error-row convention."""
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        in_fields
+        + [
+            StructField("img_decode_ok", BooleanType()),
+            StructField("img_width", IntegerType()),
+            StructField("img_height", IntegerType()),
+            StructField("img_ink_ratio", DoubleType()),
+            StructField("img_luma_mean", DoubleType()),
+            StructField("img_error", StringType()),
+        ]
+    )
+    keep = [f.name for f in in_fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, ws, hs, inks, lumas, errs = [], [], [], [], [], []
+            for buf in pdf[payload_col]:
+                try:
+                    w, h, px = _decode_one(buf)
+                    ink = float((px > px.mean()).mean()) if px.size else 0.0
+                    luma = float(px.mean()) if px.size else None
+                    ok, err = True, None
+                except NotImplementedError as exc:
+                    w = h = 0
+                    ink, luma, ok, err = 0.0, None, False, f"stub: {exc}"
+                except Exception as exc:  # in-band error row
+                    w = h = 0
+                    ink, luma, ok, err = 0.0, None, False, str(exc)
+                oks.append(ok)
+                ws.append(w)
+                hs.append(h)
+                inks.append(ink)
+                lumas.append(luma)
+                errs.append(err)
+            out = pdf[keep].copy()
+            out["img_decode_ok"] = oks
+            out["img_width"] = ws
+            out["img_height"] = hs
+            out["img_ink_ratio"] = inks
+            # nullable Float64: None must stay NULL through the Arrow cast
+            out["img_luma_mean"] = pd.array(lumas, dtype="Float64")
+            out["img_error"] = errs
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
 
 
 VIDEO_FRAME_SCHEMA = StructType(

@@ -1,0 +1,141 @@
+"""Baseline JPEG codec (functions/jpeg.py) + its Spark wiring.
+
+Roundtrip invariant (the image analog of the north rule's decoded-PCM
+allclose at SNR>=30 dB): decode(encode(luma)) matches the source luma
+above 30 dB SNR for smooth content at quality>=75, across grayscale and
+interleaved 4:2:0 frames and restart intervals.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+from doc_quality_check_spark.functions.media import image_metrics
+
+
+def _smooth(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        (128 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def _snr_db(ref: np.ndarray, rec: np.ndarray) -> float:
+    err = rec.astype(np.float64) - ref.astype(np.float64)
+    return 10 * np.log10(
+        (ref.astype(np.float64) ** 2).mean() / max((err**2).mean(), 1e-12)
+    )
+
+
+@pytest.mark.parametrize("chroma420", [False, True])
+@pytest.mark.parametrize("quality", [95, 75])
+def test_jpeg_roundtrip_snr(chroma420, quality):
+    img = _smooth(40, 56)
+    buf = encode_jpeg_gray(img, quality=quality, chroma420=chroma420)
+    w, h, luma = decode_jpeg(buf)
+    assert (w, h) == (56, 40)
+    assert _snr_db(img, luma.reshape(40, 56)) >= 30.0
+
+
+@pytest.mark.parametrize("chroma420", [False, True])
+def test_jpeg_restart_markers(chroma420):
+    img = _smooth(40, 56)
+    plain = encode_jpeg_gray(img, quality=90, chroma420=chroma420)
+    for ri in (1, 3):
+        buf = encode_jpeg_gray(
+            img, quality=90, chroma420=chroma420, restart_interval=ri
+        )
+        assert buf != plain  # DRI + RSTn actually emitted
+        w, h, luma = decode_jpeg(buf)
+        # restart resets predictors — the decode must be IDENTICAL to the
+        # no-restart decode, not merely close
+        assert np.array_equal(luma, decode_jpeg(plain)[2])
+
+
+def test_jpeg_odd_sizes_and_padding():
+    rng = np.random.default_rng(3)
+    for (h, w) in ((1, 1), (7, 13), (17, 9), (8, 8), (16, 16)):
+        img = (rng.integers(0, 256, size=(h, w)) // 2).astype(np.uint8)
+        for chroma420 in (False, True):
+            buf = encode_jpeg_gray(img, quality=95, chroma420=chroma420)
+            ww, hh, luma = decode_jpeg(buf)
+            assert (ww, hh) == (w, h)
+            assert luma.size == w * h
+
+
+def test_jpeg_flat_block_is_exact():
+    # a flat 8x8 block quantizes to DC-only and must reconstruct exactly
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    w, h, luma = decode_jpeg(encode_jpeg_gray(img, quality=90))
+    assert (w, h) == (8, 8)
+    assert int(np.abs(luma.astype(int) - 77).max()) <= 1
+
+
+def test_jpeg_error_paths():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    img = _smooth(16, 16)
+    buf = bytearray(encode_jpeg_gray(img, quality=90))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be an explicit stub
+    i = bytes(buf).find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+    # truncation mid-entropy-data -> in-band error, not a hang
+    with pytest.raises(Exception):
+        decode_jpeg(bytes(encode_jpeg_gray(img))[:40])
+
+
+def test_jpeg_through_spark_image_metrics(spark):
+    """End-to-end: a JPEG bytes column decodes inside the Arrow batch pass
+    (no stub rows), metrics match a local decode."""
+    img_a = _smooth(24, 32)
+    img_b = np.full((8, 8), 200, dtype=np.uint8)
+    rows = [
+        ("jpg_a", bytearray(encode_jpeg_gray(img_a, quality=90))),
+        ("jpg_b", bytearray(encode_jpeg_gray(img_b, chroma420=True))),
+        ("bad", bytearray(b"\xff\xd8garbage-after-soi")),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {r["media_id"]: r for r in image_metrics(df).collect()}
+    assert got["jpg_a"]["decode_ok"] and got["jpg_a"]["width"] == 32
+    assert got["jpg_a"]["height"] == 24
+    assert got["jpg_b"]["decode_ok"] and got["jpg_b"]["width"] == 8
+    # flat bright block: no pixel above the mean => ink_ratio ~ 0
+    assert got["jpg_b"]["ink_ratio"] <= 0.51
+    assert not got["bad"]["decode_ok"] and got["bad"]["error"]
+    # real JPEGs are no longer stubs
+    assert not str(got["bad"]["error"]).startswith("stub:")
+
+
+def test_jpeg_in_declarative_suite(spark):
+    """The round-4 image check kinds accept JPEG payloads: luma bounds
+    verdict on a JPEG column through the suite runner."""
+    from doc_quality_check_spark.suite.runner import SuiteRunner
+    from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+    rows = [
+        ("ok", bytearray(encode_jpeg_gray(_smooth(16, 16), quality=90))),
+        ("white", bytearray(
+            encode_jpeg_gray(np.full((8, 8), 255, np.uint8)))),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    suite = CheckSuite(
+        name="jpeg_suite",
+        checks=[
+            Check("decodes", "payload_image_decode", "bytes", priority=1),
+            Check("luma", "image_luma_range", "bytes",
+                  {"min": 5.0, "max": 250.0}, priority=2),
+        ],
+    )
+    res = SuiteRunner(suite).run(df, payload=True)
+    viols = {(r["clip_id"], r["constraint_id"])
+             for r in res.violations.collect()}
+    assert viols == {("white", "luma")}
+    res.unpersist()

@@ -142,7 +142,9 @@ def test_unsupported_and_corrupt_pngs():
 
 def test_image_metrics_end_to_end_real_png(spark):
     """Real PNGs through the Spark mapInPandas path: correct dims + the same
-    ink_ratio as a local computation; JPEG still stubs with an error row."""
+    ink_ratio as a local computation; a truncated JPEG fails IN-BAND with a
+    real decoder error (JPEG is a real codec since round 4 —
+    tests/test_media_jpeg.py covers the happy path)."""
     px_a = _rng(6).integers(0, 256, size=(12, 10), dtype=np.uint8)
     rgb_b = _rng(7).integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
     rows = [
@@ -160,4 +162,5 @@ def test_image_metrics_end_to_end_real_png(spark):
     assert got["png_rgb"]["decode_ok"] and (
         got["png_rgb"]["width"], got["png_rgb"]["height"]) == (9, 8)
     assert got["fake"]["decode_ok"]
-    assert not got["jpeg"]["decode_ok"] and "stub" in got["jpeg"]["error"]
+    assert not got["jpeg"]["decode_ok"] and got["jpeg"]["error"]
+    assert "stub" not in got["jpeg"]["error"]  # real decoder, real error
