@@ -94,6 +94,21 @@ def compile_check(check: Check) -> Column:
     if kind == "transcript_match":
         other = p.get("canonical_column", "canonical_transcript")
         return _null_passes(F.col(other).isNull() | (col == F.col(other)))
+    if kind == "payload_image_decode":
+        # image analog of payload_decode: the column is produced by ONE
+        # with_image_metrics pass (functions/media.py) — in-band decode
+        # failures (bad container, truncated data, stubbed codecs) fail here
+        # and ONLY here (the gating rule below keeps reasons single-sourced)
+        return F.col("img_decode_ok")
+    if kind == "image_luma_range":
+        # mean-luma sanity bounds (all-black/all-white frames are the image
+        # world's silence); gated on decode success like every payload check
+        lo = float(p.get("min", 0.0))
+        hi = float(p.get("max", 255.0))
+        return ~F.col("img_decode_ok") | _null_passes(
+            (F.col("img_luma_mean") >= F.lit(lo))
+            & (F.col("img_luma_mean") <= F.lit(hi))
+        )
     raise ValueError(f"not a row-level check kind: {kind}")
 
 

@@ -113,6 +113,9 @@ class SuiteRunner:
         self.suite = suite
         # set by run() when payload checks execute: which F5 mode actually ran
         self.effective_payload_mode: str | None = None
+        # set by run() before table checks: the pre-decode input, for table
+        # checks that consume the raw payload (payload_neardup)
+        self._raw_clips: DataFrame | None = None
 
     # ------------------------------------------------------------------
     def run(
@@ -166,9 +169,26 @@ class SuiteRunner:
         # demand decode and count toward the mode floor — otherwise they'd
         # silently compute their verdict over an all-NULL column
         table_checks = suite.table_checks()
-        needs_payload = payload and any(
-            c.kind.startswith("payload_") or _references_metric(c)
-            for c in [*row_checks, *table_checks]
+        if not payload:
+            # payload=False is the metadata-only contract: payload_neardup
+            # decodes+fingerprints the bytes column, so it is skipped the
+            # same way row-level payload checks are below
+            table_checks = [c for c in table_checks if c.kind != "payload_neardup"]
+        from doc_quality_check_spark.suite.spec import IMAGE_ROW_KINDS
+
+        # image row kinds run their own media decode pass (not the audio
+        # one) — they must not trigger with_payload_metrics
+        image_checks = (
+            [c for c in row_checks if c.kind in IMAGE_ROW_KINDS]
+            if payload
+            else []
+        )
+        needs_payload = payload and (
+            any(
+                c.kind.startswith("payload_") and c.kind not in IMAGE_ROW_KINDS
+                for c in row_checks
+            )
+            or any(_references_metric(c) for c in [*row_checks, *table_checks])
         )
         df = clips
         if needs_payload:
@@ -211,14 +231,50 @@ class SuiteRunner:
                 escalate_below=float(suite.settings.get("escalate_below", 15.0)),
             )
         else:
-            # metadata-only path: skip payload_* checks AND generic checks
-            # that reference derived metric columns (same skip semantics —
-            # no decode means those columns don't exist)
+            # metadata-only / audio-free path: skip AUDIO payload checks and
+            # generic checks that reference derived metric columns (no audio
+            # decode means those columns don't exist); image kinds survive
+            # here when payload=True — their decode pass runs below
             row_checks = [
                 c for c in row_checks
-                if not c.kind.startswith("payload_") and not _references_metric(c)
+                if (c.kind in IMAGE_ROW_KINDS and payload)
+                or (
+                    c.kind not in IMAGE_ROW_KINDS
+                    and not c.kind.startswith("payload_")
+                    and not _references_metric(c)
+                )
             ]
-            df = df.drop("bytes")
+            # an image-only media table may carry its payload in 'bytes' —
+            # the image pass below consumes (and drops) it itself
+            if not any((c.column or "bytes") == "bytes" for c in image_checks):
+                df = df.drop("bytes")
+        if image_checks:
+            from doc_quality_check_spark.functions.media import with_image_metrics
+
+            img_cols = {c.column or "bytes" for c in image_checks}
+            if len(img_cols) > 1:
+                raise ValueError(
+                    "image checks must share one payload column, got "
+                    f"{sorted(img_cols)}"
+                )
+            img_col = img_cols.pop()
+            if img_col not in df.columns:
+                raise ValueError(
+                    f"image checks reference missing column {img_col!r}"
+                    + (
+                        " (consumed by the audio decode — image checks must "
+                        "target a separate column from the audio payload)"
+                        if needs_payload and img_col == "bytes"
+                        else ""
+                    )
+                )
+            # one mapInPandas decode pass; img_col is dropped inside (the
+            # image binary never shuffles). Mixed-modality note: when the
+            # audio pass above also ran, this image binary column crossed
+            # that stage's Arrow transfer — acceptable at check time, but a
+            # very wide media table should split modalities into separate
+            # suites/tables to keep each binary column inside its own scan.
+            df = with_image_metrics(df, payload_col=img_col)
         df = with_row_checks(df, row_checks).persist()
 
         id_col = "clip_id"
@@ -259,7 +315,16 @@ class SuiteRunner:
             # deliberately: table-check thresholds assume full metrics.
             table_df = full_clips.drop("bytes") if resuming else df
             resume_cache = None
-            needed = {c.column for c in table_checks if c.column}
+            # payload_neardup fingerprints the RAW payload (its own single
+            # decode pass) — hand it the pre-decode input; its column is
+            # excluded from the derived-metric 'needed' analysis below
+            # because 'bytes' is deliberately absent from table_df
+            self._raw_clips = full_clips
+            needed = {
+                c.column
+                for c in table_checks
+                if c.column and c.kind != "payload_neardup"
+            }
             missing = needed - set(table_df.columns)
             if missing:
                 if payload and missing & DERIVED_METRIC_COLUMNS:
@@ -567,6 +632,48 @@ class SuiteRunner:
                 val is not None
                 and p.get("min", 0.0) <= val <= p.get("max", float("inf"))
             )
+        elif check.kind == "payload_neardup":
+            # near-duplicate-rate bound over the AUDIO payload: spectral
+            # fingerprints + pigeonhole Hamming LSH (operators/audio_dedup),
+            # clustered by connected components; every cluster member except
+            # the keeper (min id — the keep-first retention rule) is a
+            # violation row. metric = redundant clips / total clips.
+            # Runs on the RAW input (self._raw_clips): the checked df has
+            # the bytes column dropped by design.
+            from doc_quality_check_spark.operators.audio_dedup import (
+                audio_neardup_pairs,
+            )
+            from doc_quality_check_spark.operators.dedup import (
+                connected_components,
+            )
+
+            raw = self._raw_clips
+            id_col = p.get("id_col", "clip_id")
+            pairs = audio_neardup_pairs(
+                raw,
+                id_col=id_col,
+                bytes_col=check.column or "bytes",
+                codec_col=p.get("codec_col", "codec"),
+                max_hamming=int(p.get("max_hamming", 7)),
+            )
+            redundant = (
+                connected_components(
+                    pairs, algorithm=str(p.get("algorithm", "label"))
+                )
+                .filter(F.col("id") != F.col("comp"))
+                .select(F.col("id").alias("clip_id"))
+                .persist()
+            )
+            n_viol = redundant.count()
+            n_rows = df.count()  # cached checked df — cheap recount
+            extra = redundant.select(
+                "clip_id",
+                F.lit(cid).alias("constraint_id"),
+                # a near-dup cluster can span partitions → global fact
+                F.lit(GLOBAL_PART).alias("part_key"),
+            )
+            metric = float(n_viol) / n_rows if n_rows else 0.0
+            passed = metric <= float(p.get("max_dup_rate", 0.0))
         elif check.kind in ("drift_psi", "drift_ks", "drift_w1", "drift_chi2"):
             if baseline is None:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")

@@ -13,12 +13,18 @@ Check kinds
 Row-level (compile to a boolean ``Column``; failures become violation rows):
   ``not_null | min | max | in_range | isin | regex_match | regex_not_match |
   expr | payload_energy | payload_decode | payload_sr_consistency |
-  payload_dur_consistency | payload_clipping | transcript_match``
+  payload_dur_consistency | payload_clipping | transcript_match |
+  payload_image_decode | image_luma_range``
+(the two image kinds validate an image-bytes column via one
+``with_image_metrics`` decode pass — functions/media.py)
 Table-level (evaluated by the runner as aggregates / joins; schema_match
 is pure metadata — no job):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
   drift_ks | drift_w1 | drift_chi2 | distinct_range | quantile_range |
-  entropy_range | schema_match``
+  entropy_range | schema_match | payload_neardup``
+(``payload_neardup`` bounds the audio near-duplicate rate — spectral
+fingerprints + pigeonhole LSH + connected components,
+operators/audio_dedup.py; violations list every non-kept cluster member)
 
 Default thresholds mirror the reference: readability threshold 15
 (/root/reference/test_readability.py:15), emptiness threshold 0.5%
@@ -46,7 +52,13 @@ ROW_LEVEL_KINDS = {
     "payload_dur_consistency",
     "payload_clipping",
     "transcript_match",
+    "payload_image_decode",
+    "image_luma_range",
 }
+
+# row-level kinds that require an IMAGE payload decode (media.py), as
+# opposed to the audio payload_* kinds served by with_payload_metrics
+IMAGE_ROW_KINDS = {"payload_image_decode", "image_luma_range"}
 
 TABLE_LEVEL_KINDS = {
     "unique",
@@ -61,6 +73,7 @@ TABLE_LEVEL_KINDS = {
     "quantile_range",
     "entropy_range",
     "schema_match",
+    "payload_neardup",
 }
 
 

@@ -1,0 +1,223 @@
+"""Declarative suite checks over media payloads (round-4 additions):
+
+- ``payload_neardup`` (table-level): bounds the audio near-duplicate rate
+  via spectral fingerprints + LSH + connected components; violations list
+  every non-kept cluster member (operators/audio_dedup.py wired into
+  suite/spec.py + suite/runner.py).
+- ``payload_image_decode`` / ``image_luma_range`` (row-level): validate an
+  image-bytes column through ONE with_image_metrics decode pass
+  (functions/media.py).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doc_quality_check_spark.functions.audio import (
+    encode_wav_pcm16,
+    synth_speechlike_pcm,
+)
+from doc_quality_check_spark.functions.media import (
+    FAKEIMG_MAGIC,
+    encode_fake_image,
+)
+from doc_quality_check_spark.suite.runner import GLOBAL_PART, SuiteRunner
+from doc_quality_check_spark.suite.spec import Check, CheckSuite
+
+SR = 8000
+
+
+def _pcm(seed, noise=0.0, gain=1.0):
+    x = synth_speechlike_pcm(seed, SR, 500).astype(np.float64) * gain
+    if noise:
+        nrng = np.random.default_rng(10_000 + seed)
+        x = x + noise * nrng.standard_normal(x.size)
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def neardup_clips(spark):
+    # 3 content groups x 3 takes (clean / re-leveled / noised) + 1 unique
+    # clip + 1 corrupt payload: 6 redundant copies among 11 rows
+    rows = []
+    for g, seed in enumerate([11, 22, 33]):
+        for take, (noise, gain) in enumerate(
+            [(0.0, 1.0), (0.0, 0.5), (0.003, 1.0)]
+        ):
+            rows.append(
+                (f"g{g}_t{take}",
+                 bytearray(encode_wav_pcm16(_pcm(seed, noise, gain), SR)),
+                 "pcm_s16le", "x")
+            )
+    rows.append(
+        # seed 44 verified >10 Hamming bits from every group fingerprint
+        # (seed 99 sat at exactly 7 from group 2 — a threshold-boundary flake)
+        ("unique", bytearray(encode_wav_pcm16(_pcm(44), SR)), "pcm_s16le", "x")
+    )
+    rows.append(("corrupt", bytearray(b"XXnotawav"), "pcm_s16le", "x"))
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, transcript string"
+    )
+
+
+def test_payload_neardup_check(neardup_clips):
+    suite = CheckSuite(
+        name="neardup_suite",
+        checks=[
+            Check("id_present", "not_null", "clip_id"),
+            Check("dup_rate_tight", "payload_neardup", "bytes",
+                  {"max_dup_rate": 0.1, "max_hamming": 7}),
+            Check("dup_rate_loose", "payload_neardup", "bytes",
+                  {"max_dup_rate": 0.9, "max_hamming": 7}),
+        ],
+    )
+    res = SuiteRunner(suite).run(neardup_clips, payload=True)
+    verdicts = {r["constraint_id"]: r for r in res.verdicts.collect()}
+
+    tight = verdicts["dup_rate_tight"]
+    assert tight["part_key"] == GLOBAL_PART
+    assert not tight["passed"]
+    assert tight["n_violations"] == 6  # 2 redundant takes x 3 groups
+    assert abs(tight["metric_value"] - 6 / 11) < 1e-9
+
+    loose = verdicts["dup_rate_loose"]
+    assert loose["passed"]  # same rate, advisory-loose bound
+
+    viols = {
+        r["clip_id"]
+        for r in res.violations.filter(
+            F.col("constraint_id") == "dup_rate_tight"
+        ).collect()
+    }
+    # keep-first: min id per content cluster survives; the rest violate
+    assert viols == {f"g{g}_t{t}" for g in range(3) for t in (1, 2)}
+    res.unpersist()
+
+
+def test_payload_neardup_skipped_without_payload(neardup_clips):
+    suite = CheckSuite(
+        name="neardup_meta_only",
+        checks=[
+            Check("id_present", "not_null", "clip_id"),
+            Check("dup_rate", "payload_neardup", "bytes",
+                  {"max_dup_rate": 0.0}),
+        ],
+    )
+    res = SuiteRunner(suite).run(neardup_clips, payload=False)
+    cids = {r["constraint_id"] for r in res.verdicts.collect()}
+    assert cids == {"id_present"}  # metadata-only: no decode, no fingerprint
+    res.unpersist()
+
+
+def _flat_image(value: int, w: int = 8, h: int = 8) -> bytearray:
+    return bytearray(
+        FAKEIMG_MAGIC + struct.pack("<II", w, h) + bytes([value]) * (w * h)
+    )
+
+
+@pytest.fixture(scope="module")
+def media_table(spark):
+    import zlib
+
+    # one real PNG (4x2 gray gradient), one FAKEIMG mid-gray, one all-white,
+    # one all-black, one corrupt container
+    w, h = 4, 2
+    raw = b"".join(
+        b"\x00" + bytes(range(64 + y * 64, 64 + y * 64 + w)) for y in range(h)
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    rows = [
+        ("png_ok", bytearray(png)),
+        ("fake_mid", bytearray(encode_fake_image(7, 8, 8))),
+        ("too_bright", _flat_image(255)),
+        ("too_dark", _flat_image(0)),
+        ("corrupt", bytearray(b"JUNKJUNKJUNK")),
+    ]
+    return spark.createDataFrame(rows, "clip_id string, bytes binary")
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_image_checks_pass_and_violate(media_table):
+    suite = CheckSuite(
+        name="image_suite",
+        checks=[
+            Check("img_decodes", "payload_image_decode", "bytes", priority=1),
+            Check("img_luma_sane", "image_luma_range", "bytes",
+                  {"min": 10.0, "max": 245.0}, priority=2),
+        ],
+    )
+    res = SuiteRunner(suite).run(media_table, payload=True)
+    checked = {r["clip_id"]: r for r in res.checked.collect()}
+
+    assert "bytes" not in res.checked.columns  # binary never leaves the scan
+    assert checked["png_ok"]["img_width"] == 4
+    assert checked["png_ok"]["img_height"] == 2
+    assert checked["png_ok"]["passed__img_decodes"]
+    assert checked["corrupt"]["img_error"] is not None
+
+    viols = {
+        (r["clip_id"], r["constraint_id"]) for r in res.violations.collect()
+    }
+    assert viols == {
+        ("corrupt", "img_decodes"),
+        ("too_bright", "img_luma_sane"),
+        ("too_dark", "img_luma_sane"),
+    }
+    # gating: the undecodable row fails decode ONLY (single-sourced reasons)
+    assert checked["corrupt"]["passed__img_luma_sane"]
+    assert checked["corrupt"]["reason"] == "img_decodes"
+    assert checked["too_bright"]["reason"] == "img_luma_sane"
+
+    verdicts = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert verdicts["img_decodes"]["n_violations"] == 1
+    assert verdicts["img_luma_sane"]["n_violations"] == 2
+    res.unpersist()
+
+
+def test_image_checks_skipped_without_payload(media_table):
+    suite = CheckSuite(
+        name="image_meta_only",
+        checks=[
+            Check("id_present", "not_null", "clip_id"),
+            Check("img_decodes", "payload_image_decode", "bytes"),
+            Check("img_luma_sane", "image_luma_range", "bytes",
+                  {"min": 10.0, "max": 245.0}),
+        ],
+    )
+    res = SuiteRunner(suite).run(media_table, payload=False)
+    cids = {r["constraint_id"] for r in res.verdicts.collect()}
+    assert cids == {"id_present"}
+    res.unpersist()
+
+
+def test_media_suite_json_roundtrip():
+    suite = CheckSuite(
+        name="rt",
+        checks=[
+            Check("a", "payload_neardup", "bytes", {"max_dup_rate": 0.05}),
+            Check("b", "payload_image_decode", "img"),
+            Check("c", "image_luma_range", "img", {"min": 5, "max": 250}),
+        ],
+    )
+    rt = CheckSuite.from_json(suite.to_json())
+    assert [c.kind for c in rt.checks] == [
+        "payload_neardup", "payload_image_decode", "image_luma_range",
+    ]
+    assert rt.checks[0].params["max_dup_rate"] == 0.05
