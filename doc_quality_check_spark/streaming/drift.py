@@ -36,6 +36,13 @@ CLIPS_META_SCHEMA_DDL = (
 )
 
 
+#: NULL group values are normalized to this sentinel string in the stored
+#: histogram — the same convention as the batch per-partition drift checks
+#: (suite/runner.py NULL_PART), so a NULL codec never silently drops out of
+#: the (group, bucket) equi-join.
+NULL_GROUP = "__null__"
+
+
 def stream_histogram(
     spark: SparkSession,
     input_dir: str,
@@ -46,28 +53,42 @@ def stream_histogram(
     watermark: str = "10 minutes",
     window_len: str = "5 minutes",
     max_files_per_trigger: int = 4,
+    group_cols: list[str] | None = None,
 ):
     """Start (availableNow) a file-source stream maintaining the windowed
-    histogram of ``column``: rows (window_start, window_end, bucket, count,
-    batch_id) appended under ``output_dir``. Returns the StreamingQuery;
-    callers awaitTermination(). Restarting with the same checkpoint resumes
-    from unprocessed files, and the stateful count carries across restarts
-    (the state store lives in the checkpoint)."""
+    histogram of ``column``: rows (window_start, window_end, [group...,]
+    bucket, count, batch_id) appended under ``output_dir``. Returns the
+    StreamingQuery; callers awaitTermination(). Restarting with the same
+    checkpoint resumes from unprocessed files, and the stateful count
+    carries across restarts (the state store lives in the checkpoint).
+
+    ``group_cols`` (e.g. ``["codec"]``) adds those columns to the stateful
+    key, producing the grouped histogram :func:`read_stream_drift` scores
+    per (window, group) — the continuous twin of the batch per-group drift
+    checks. State stays bounded: (watermark / window_len) × |groups| ×
+    |buckets| rows. NULL group values are stored as :data:`NULL_GROUP`."""
+    group_cols = list(group_cols or [])
     stream = (
         spark.readStream.schema(schema_ddl)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
+    gkeys = [
+        F.coalesce(F.col(g).cast("string"), F.lit(NULL_GROUP)).alias(g)
+        for g in group_cols
+    ]
     counts = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(
             F.window(F.col(ts_col), window_len).alias("window"),
+            *gkeys,
             F.col(column).cast("string").alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("count"))
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
+            *group_cols,
             "bucket",
             "count",
         )
@@ -93,53 +114,76 @@ def read_stream_drift(
     baseline_hist: DataFrame,
     max_psi: float | None = None,
     statistic: str = "psi",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Score the stored windowed histograms against a static baseline
-    (bucket, count) → (window_start, window_end, psi[, passed]).
+    (``[group...,] bucket, count``) → (window_start, window_end,
+    [group...,] psi[, passed]) — full batch parity: ``statistic`` is one of
+    ``psi | ks | w1 | chi2`` (chi2 scores Cramér's V, the scale-free
+    categorical form), and ``group_cols`` scores each (window, group) pair
+    the way the batch per-group drift checks do.
 
-    Latest-wins per (window, bucket) across micro-batch updates, then ONE
-    grouped plan over all windows (drift_*_by_group with the window start
-    as the group) — never a per-window job loop. ``statistic``: "psi"
-    (default) or "chi2" (Cramér's V — the scale-free categorical score;
-    the output column is still named ``psi`` so downstream consumers and
-    ``max_psi`` thresholding are statistic-agnostic)."""
+    Latest-wins per (window[, group], bucket) across micro-batch updates,
+    then ONE grouped plan over all (window, group) pairs — the composite
+    key rides a struct through drift_*_by_group; never a per-window job
+    loop. The output score column is always named ``psi`` so downstream
+    consumers and ``max_psi`` thresholding are statistic-agnostic."""
+    from doc_quality_check_spark.operators.aggregates import (
+        drift_chi2_by_group,
+        drift_ks_by_group,
+        drift_w1_by_group,
+    )
+
+    group_cols = list(group_cols or [])
     hist = spark.read.parquet(os.path.join(output_dir, "hist"))
-    w = Window.partitionBy("window_start", "bucket").orderBy(
+    w = Window.partitionBy("window_start", *group_cols, "bucket").orderBy(
         F.desc("batch_id")
     )
     latest = (
         hist.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("window_start", "window_end", "bucket", "count")
+        .select("window_start", "window_end", *group_cols, "bucket", "count")
     )
     bounds = latest.groupBy("window_start").agg(
         F.max("window_end").alias("window_end")
     )
-    cur = latest.select(F.col("window_start").alias("grp"), "bucket", "count")
+    # composite (window[, group...]) key as ONE struct column: every
+    # drift_*_by_group plan (grouped agg + (grp, bucket) equi-join + grp
+    # window) works unchanged on struct equality
+    key = F.struct(F.col("window_start"), *[F.col(g) for g in group_cols])
+    cur = latest.select(key.alias("grp"), "bucket", "count")
     # every window drifts against the SAME static baseline: cross the tiny
-    # baseline histogram with the window keys (broadcast, histogram-sized)
-    base = (
-        bounds.select(F.col("window_start").alias("grp"))
-        .crossJoin(F.broadcast(baseline_hist.select("bucket", "count")))
+    # baseline histogram with the window keys (broadcast, histogram-sized).
+    # Grouped form: the baseline carries its own group columns, so the
+    # cross product is windows × (group, bucket) baseline rows.
+    base = bounds.select("window_start").crossJoin(
+        F.broadcast(baseline_hist.select(*group_cols, "bucket", "count"))
     )
+    base = base.select(key.alias("grp"), "bucket", "count")
     if statistic == "psi":
-        scored = drift_psi_by_group(cur, base, "grp").select(
-            F.col("grp").alias("window_start"), "psi"
+        scored = drift_psi_by_group(cur, base, "grp").select("grp", "psi")
+    elif statistic == "ks":
+        scored = drift_ks_by_group(cur, base, "grp").select(
+            "grp", F.col("ks").alias("psi")
+        )
+    elif statistic == "w1":
+        scored = drift_w1_by_group(cur, base, "grp").select(
+            "grp", F.col("w1").alias("psi")
         )
     elif statistic == "chi2":
-        from doc_quality_check_spark.operators.aggregates import (
-            drift_chi2_by_group,
-        )
-
         scored = drift_chi2_by_group(cur, base, "grp").select(
-            F.col("grp").alias("window_start"),
-            F.col("cramers_v").alias("psi"),
+            "grp", F.col("cramers_v").alias("psi")
         )
     else:
         raise ValueError(f"unknown drift statistic: {statistic!r}")
-    out = scored.join(bounds, "window_start").select(
-        "window_start", "window_end", "psi"
+    unpacked = scored.select(
+        F.col("grp.window_start").alias("window_start"),
+        *[F.col(f"grp.{g}").alias(g) for g in group_cols],
+        "psi",
+    )
+    out = unpacked.join(bounds, "window_start").select(
+        "window_start", "window_end", *group_cols, "psi"
     )
     if max_psi is not None:
         out = out.withColumn("passed", F.col("psi") <= F.lit(max_psi))
-    return out.orderBy("window_start")
+    return out.orderBy("window_start", *group_cols)

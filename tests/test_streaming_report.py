@@ -131,6 +131,75 @@ def test_stream_drift_psi_per_window(spark, tmp_path_factory):
     assert chi["10:05"]["psi"] > 0.1 and chi["10:05"]["passed"] is False
 
 
+def test_stream_drift_per_group_all_statistics(spark, tmp_path_factory):
+    """Per-(window, group) streaming drift, batch parity: group_cols keys
+    the stateful histogram AND the score by codec, and all four statistics
+    (psi / ks / w1 / chi2) run over the same stored sink — only the
+    (window, group) cell that drifted fails."""
+    from doc_quality_check_spark.streaming.drift import (
+        read_stream_drift,
+        stream_histogram,
+    )
+
+    base = tmp_path_factory.mktemp("sgdrift")
+    inp, out = str(base / "in"), str(base / "out")
+    os.makedirs(inp)
+
+    def rows(srs, codec, t0):
+        return [
+            (f"{codec}{t0}_{i}", sr, codec,
+             f"2026-01-01 10:0{t0}:{10 + i % 40:02d}")
+            for i, sr in enumerate(srs)
+        ]
+
+    schema = "clip_id string, sr_hz int, codec string, ts_s string"
+    # window A (10:00): both codecs 50/50 8000/16000 (match baseline);
+    # window B (10:05): opus stays on-baseline, flac shifts to all-16000 —
+    # exactly ONE (window, group) cell drifts
+    data = (
+        rows([8000] * 10 + [16000] * 10, "opus", 0)
+        + rows([8000] * 10 + [16000] * 10, "flac", 0)
+        + rows([8000] * 10 + [16000] * 10, "opus", 6)
+        + rows([16000] * 20, "flac", 6)
+    )
+    (spark.createDataFrame(data, schema)
+     .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+     .coalesce(1).write.mode("overwrite").parquet(inp + "_src"))
+    for i, f in enumerate(sorted(glob.glob(inp + "_src/part-*.parquet"))):
+        shutil.copy(f, os.path.join(inp, f"clips_{i}.parquet"))
+
+    q = stream_histogram(
+        spark, inp, out, "sr_hz",
+        schema_ddl="clip_id string, sr_hz int, codec string, ts timestamp",
+        group_cols=["codec"],
+    )
+    q.awaitTermination(120)
+
+    # grouped baseline: the SAME 50/50 histogram per codec
+    baseline = spark.createDataFrame(
+        [(c, b, 10) for c in ("opus", "flac") for b in ("8000", "16000")],
+        "codec string, bucket string, count long",
+    )
+    for stat, thresh in (("psi", 0.1), ("ks", 0.2), ("w1", 1000.0),
+                         ("chi2", 0.2)):
+        scored = {
+            (r["window_start"].strftime("%H:%M"), r["codec"]): r
+            for r in read_stream_drift(
+                spark, out, baseline, max_psi=thresh,
+                statistic=stat, group_cols=["codec"],
+            ).collect()
+        }
+        assert set(scored) == {("10:00", "opus"), ("10:00", "flac"),
+                               ("10:05", "opus"), ("10:05", "flac")}, stat
+        for cell in (("10:00", "opus"), ("10:00", "flac"),
+                     ("10:05", "opus")):
+            assert scored[cell]["psi"] < thresh, (stat, cell)
+            assert scored[cell]["passed"] is True, (stat, cell)
+        drifted = scored[("10:05", "flac")]
+        assert drifted["psi"] > thresh, stat
+        assert drifted["passed"] is False, stat
+
+
 @pytest.fixture(scope="module")
 def run_result(spark, clips_dir):
     clips = load_clips(spark, clips_dir).limit(600)
@@ -189,7 +258,7 @@ def test_image_metrics_plumbing(spark):
         ("img_ok", encode_fake_image(1, 16, 8)),
         ("img_trunc", encode_fake_image(2, 64, 64)[:100]),
         ("img_png_bad", b"\x89PNG\r\n\x1a\nrest"),  # garbage chunk body
-        ("img_jpeg", b"\xff\xd8\xff\xe0rest"),      # stubbed format
+        ("img_jpeg", b"\xff\xd8\xff\xe0rest"),      # truncated JPEG
         ("img_empty", b""),
     ]
     df = spark.createDataFrame(rows, "media_id string, bytes binary")
@@ -201,7 +270,10 @@ def test_image_metrics_plumbing(spark):
     # in-band decode error, not a stub
     assert not got["img_png_bad"]["decode_ok"]
     assert not got["img_png_bad"]["error"].startswith("stub:")
-    assert not got["img_jpeg"]["decode_ok"] and got["img_jpeg"]["error"].startswith("stub:")
+    # JPEG is decoded for real now too (test_media_jpeg.py): same in-band
+    # error convention
+    assert not got["img_jpeg"]["decode_ok"]
+    assert not got["img_jpeg"]["error"].startswith("stub:")
     assert got["img_empty"]["decode_ok"] and got["img_empty"]["width"] == 0
 
 
