@@ -68,6 +68,7 @@ class ValidationJob:
         lineage: dict | None = None,
         formats: tuple[str, ...] = ("txt", "html", "json"),
         _merge_prev: tuple[RunManifest, list[str]] | None = None,
+        _revalidate_cids: set[str] | None = None,
     ) -> JobResult:
         # checks whose reference inputs are absent are pruned (never crash a
         # run for a missing side-table; the verdict simply isn't produced)
@@ -148,6 +149,41 @@ class ValidationJob:
             payload=payload,
             completed_partitions=completed or None,
         )
+
+        # constraint-version-aware incremental (run_incremental): a check
+        # whose VERSION changed since the prior run is stale on every
+        # carried-forward partition — re-run JUST that check over the
+        # untouched partitions (the touched ones re-validated in full above;
+        # table-level checks always recompute globally) instead of
+        # re-validating everything. The prior-run merge below excludes the
+        # same cids, so the union is exactly one verdict per (part, cid).
+        revalidate = set(_revalidate_cids or ())
+        reval_checks = [
+            c for c in suite.checks
+            if c.constraint_id in revalidate and c.is_row_level
+        ]
+        if reval_checks and completed:
+            from doc_quality_check_spark.suite.runner import part_key_col
+
+            sub_suite = CheckSuite(
+                name=f"{suite.name}__reval",
+                checks=reval_checks,
+                partition_by=suite.partition_by,
+                settings=suite.settings,
+            )
+            pk = part_key_col(suite.partition_by)
+            sub_res = SuiteRunner(sub_suite).run(
+                clips.filter(pk.isin(list(completed))),
+                payload=payload,
+            )
+            res.verdicts = res.verdicts.unionByName(sub_res.verdicts)
+            res.violations = res.violations.unionByName(
+                sub_res.violations.select(*res.violations.columns)
+            )
+            m.input_lineage["constraints_revalidated"] = {
+                "cids": sorted(c.constraint_id for c in reval_checks),
+                "over_partitions": len(completed),
+            }
         run_sec = time.perf_counter() - t_run
 
         # Merge the prior (crashed) run's per-partition verdicts for the
@@ -169,7 +205,10 @@ class ValidationJob:
             prior_rows = []
             for pk in completed:
                 for cid, v in prev.partitions.get(pk, {}).get("checks", {}).items():
-                    if cid in table_cids:
+                    # version-changed / added / removed constraints never
+                    # carry forward: changed ones were just recomputed by the
+                    # revalidation pass above, removed ones no longer exist
+                    if cid in table_cids or cid in revalidate:
                         continue
                     prior_rows.append((
                         pk, cid,
@@ -194,9 +233,15 @@ class ValidationJob:
                 try:
                     pv = clips.sparkSession.read.parquet(prev_viol)
                     if "part_key" in pv.columns:
+                        keep = pv.filter(F.col("part_key").isin(completed))
+                        if revalidate:
+                            # changed-version constraints' violation rows
+                            # were recomputed by the revalidation pass
+                            keep = keep.filter(
+                                ~F.col("constraint_id").isin(list(revalidate))
+                            )
                         res.violations = res.violations.unionByName(
-                            pv.filter(F.col("part_key").isin(completed))
-                            .select(*res.violations.columns)
+                            keep.select(*res.violations.columns)
                         )
                 except Exception:
                     pass  # unreadable/partial prior output — skip the merge
@@ -280,7 +325,16 @@ class ValidationJob:
 
         ``compare_cols`` defaults to every column the snapshots share
         except ``id_col`` (binary payloads compare by equality); prune it
-        to the checked subset to narrow the diff shuffle."""
+        to the checked subset to narrow the diff shuffle.
+
+        CONSTRAINT versions are diffed too (the manifest records the
+        constraint_id→version map every run): a check whose ``version``
+        changed — or a brand-new check — cannot carry its verdicts forward,
+        so it alone is re-run over the untouched partitions while everything
+        else still skips them; a removed check's stale verdicts are dropped.
+        The manifest lineage records ``constraints_revalidated``. Bump
+        ``Check.version`` when you change a threshold/params — the version
+        string IS the change signal (params are not content-hashed)."""
         from doc_quality_check_spark.operators.joins import snapshot_diff
         from doc_quality_check_spark.suite.runner import part_key_col
 
@@ -300,6 +354,18 @@ class ValidationJob:
         if compare_cols is None:
             shared = set(prev_clips.columns) & set(clips.columns)
             compare_cols = sorted(shared - {id_col})
+        else:
+            # the partition columns are never optional in the diff: a row
+            # whose ONLY change is its partition value moves between
+            # partitions, and if the pruned compare set misses that, neither
+            # the old nor the new partition is marked touched and both keep
+            # stale verdicts — so union them in rather than trusting callers
+            missing = [
+                c
+                for c in part_cols
+                if c not in compare_cols and c in clips.columns
+            ]
+            compare_cols = list(compare_cols) + missing
         # persist: the diff is ONE full-outer shuffle of both snapshots (the
         # feature's dominant cost) and both semi-joins below consume it —
         # uncached it would be computed twice
@@ -324,10 +390,21 @@ class ValidationJob:
             for p in self.manifests.completed_partitions(prev_m)
             if p not in touched
         ]
+        # changed/added versions re-run over the unchanged partitions;
+        # removed cids are simply never merged (their verdicts describe a
+        # constraint that no longer exists)
+        prev_versions = prev_m.constraint_versions or {}
+        cur_versions = self.suite.versions()
+        stale_cids = {
+            cid
+            for cid, ver in cur_versions.items()
+            if prev_versions.get(cid) != ver
+        } | (set(prev_versions) - set(cur_versions))
         return self.run(
             clips,
             resume=False,
             _merge_prev=(prev_m, unchanged),
+            _revalidate_cids=stale_cids or None,
             **run_kwargs,
         )
 

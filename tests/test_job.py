@@ -487,3 +487,80 @@ def test_job_incremental_revalidates_only_touched_partitions(
     job2 = ValidationJob(_suite(), str(tmp_path / "job_inc2"))
     jr = job2.run_incremental(new, old, id_col="clip_id", payload=False)
     assert "incremental_from_run" not in jr.manifest.input_lineage
+
+
+def test_job_incremental_constraint_version_revalidation(
+    spark, clips_dir, tmp_path
+):
+    """Constraint-version-aware incremental: with the DATA unchanged, a
+    version-bumped (tightened) check re-runs alone over every untouched
+    partition; unchanged checks carry forward verbatim; a removed check's
+    stale verdicts are dropped; lineage records what was revalidated."""
+    out = str(tmp_path / "job_ver")
+    base = (
+        load_clips(spark, clips_dir).drop("bytes").limit(800)
+        .dropDuplicates(["clip_id"])
+    )
+    snap_p = str(tmp_path / "snap_v")
+    base.write.parquet(snap_p)
+    snap = spark.read.parquet(snap_p)
+
+    job = ValidationJob(_suite(), out)
+    jr1 = job.run(snap, payload=False, resume=False)
+    assert jr1.manifest.status == "complete"
+
+    # v2 suite: dur_range tightened (version bumped), clip_id_unique
+    # REMOVED, everything else identical
+    max_dur = snap.agg(F.expr("max(dur_ms)")).collect()[0][0]
+    tight = int(max_dur) - 1  # guarantees at least one new violation
+    suite_v2 = CheckSuite(
+        name="job_meta",
+        partition_by=["part_key"],
+        checks=[
+            Check("clip_id_not_null", "not_null", "clip_id", priority=1),
+            Check("dur_range", "in_range", "dur_ms",
+                  {"min": 1, "max": tight}, version="2", priority=2),
+        ],
+    )
+    job2 = ValidationJob(suite_v2, out)  # same manifest store
+    jr2 = job2.run_incremental(snap, snap, id_col="clip_id", payload=False)
+
+    lin = jr2.manifest.input_lineage
+    assert lin["incremental_from_run"] == jr1.manifest.run_id
+    # removed checks are dropped silently; only still-present changed
+    # checks re-run
+    assert lin["constraints_revalidated"]["cids"] == ["dur_range"]
+    assert lin["constraints_revalidated"]["over_partitions"] >= 3
+
+    v1 = {(r["part_key"], r["constraint_id"]): r
+          for r in jr1.result.verdicts.collect()}
+    v2 = {(r["part_key"], r["constraint_id"]): r
+          for r in jr2.result.verdicts.collect()}
+    # exactly one verdict per (part, cid): no double rows from the merge
+    assert len(v2) == len(jr2.result.verdicts.collect())
+    # the removed check's verdicts are gone
+    assert not any(cid == "clip_id_unique" for _, cid in v2)
+    # unchanged check carried forward verbatim on every partition
+    for (pk, cid), r in v2.items():
+        if cid == "clip_id_not_null" and pk != GLOBAL_PART:
+            assert r["n_violations"] == v1[(pk, cid)]["n_violations"]
+    # the bumped check was RECOMPUTED under the tightened bound: total
+    # violations strictly exceed the v1 run's
+    tot1 = sum(r["n_violations"] for (pk, cid), r in v1.items()
+               if cid == "dur_range")
+    tot2 = sum(r["n_violations"] for (pk, cid), r in v2.items()
+               if cid == "dur_range")
+    assert tot2 > tot1
+    # full partition coverage for the recomputed check
+    parts = {r["part_key"] for r in
+             snap.select("part_key").distinct().collect()}
+    assert parts <= {pk for (pk, cid) in v2 if cid == "dur_range"}
+    # violations table backs the recomputed verdicts
+    viol = jr2.result.violations.filter(
+        F.col("constraint_id") == "dur_range").count()
+    assert viol == tot2
+
+    # same suite re-run (no version change, no data change): nothing
+    # revalidates, everything carries forward
+    jr3 = job2.run_incremental(snap, snap, id_col="clip_id", payload=False)
+    assert "constraints_revalidated" not in jr3.manifest.input_lineage
