@@ -65,6 +65,37 @@ def encode_fake_image(seed: int, width: int, height: int) -> bytes:
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+
+def encode_png_gray(pixels: "np.ndarray") -> bytes:
+    """Minimal stdlib PNG writer for an (h, w) uint8 grayscale plane
+    (color type 0, bit depth 8, filter 0 rows) — the deterministic fixture
+    generator for :func:`decode_png`, the role
+    :func:`doc_quality_check_spark.functions.jpeg.encode_jpeg_gray` plays
+    for JPEG."""
+    import struct as _struct
+    import zlib as _zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 2:
+        raise ValueError("encode_png_gray expects an (h, w) array")
+    h, w = px.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
 # channels per pixel for the PNG color types we decode (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 

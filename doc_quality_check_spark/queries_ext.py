@@ -1455,6 +1455,73 @@ def q_audio_neardup(spark, sf):
     return audio_neardup_pairs(clips).orderBy("id_a", "id_b")
 
 
+def q_image_decode_metrics(spark, sf):
+    """Image-payload decode through the REAL codecs under the driver gate:
+    every document row synthesizes a small image executor-side — PNG for
+    even doc_ids, baseline JPEG for odd (functions/media.encode_png_gray /
+    functions/jpeg.encode_jpeg_gray), dimensions derived from doc_id — then
+    ONE image_metrics mapInPandas pass decodes them. The oracle recomputes
+    (width, height, decode_ok) from the same doc_id formulas in SQL, so a
+    codec regression (wrong dims, decode failure) hash-fails the driver
+    row; pixel-level semantics stay pinned by tests/test_media_png.py and
+    test_media_jpeg.py. Same two measured plan rules as q_audio_neardup:
+    spread the tiny id set before the binary-emitting UDF, and checkpoint
+    between the synth and decode UDFs so bytes never chain through one
+    stage (the 20x chained-binary-UDF pathology, BASELINE.md)."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.jpeg import encode_jpeg_gray
+    from doc_quality_check_spark.functions.media import (
+        encode_png_gray,
+        image_metrics,
+    )
+
+    docs = (
+        t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .repartition(8)
+    )
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 8 + i % 13, 8 + i % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = ((xx * 3 + yy * 5 + i) % 256).astype(np.uint8)
+            out.append(
+                encode_png_gray(px)
+                if i % 2 == 0
+                else encode_jpeg_gray(px, quality=90)
+            )
+        return pd.Series(out)
+
+    imgs = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        _synth("doc_id").alias("bytes"),
+    ).localCheckpoint(eager=True)
+    return image_metrics(imgs).select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "decode_ok",
+    ).orderBy("doc_id")
+
+
+# the oracle re-derives the container-independent facts (dimensions from
+# the doc_id formulas, decode success) — the SQL-expressible half of the
+# invariant; decoded pixel values have no SQL form and are pytest-pinned
+SQL_IMAGE_DECODE_METRICS = """
+SELECT doc_id,
+       CAST(8 + doc_id % 13 AS INTEGER) AS width,
+       CAST(8 + doc_id % 7 AS INTEGER) AS height,
+       TRUE AS decode_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Exact token heavy hitters over documents (the exact baseline a
     count-min sketch approximates at scale)."""
@@ -2154,6 +2221,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "iou_dedupe": q_iou_dedupe,
     "audio_neardup": q_audio_neardup,
+    "image_decode_metrics": q_image_decode_metrics,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "self_drift": q_self_drift,
@@ -2173,6 +2241,7 @@ ORACLES_EXT: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "skew_profile": SQL_SKEW_PROFILE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "image_decode_metrics": SQL_IMAGE_DECODE_METRICS,
     "text_clean": SQL_TEXT_CLEAN,
     "artifact_typology": _artifact_sql(),
     "lang_id": _lang_sql(),

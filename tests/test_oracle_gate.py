@@ -33,6 +33,7 @@ NEVER_SAMPLED = [
     "asof_join",
     "column_entropy",
     "heavy_hitters_cms",
+    "image_decode_metrics",  # new in round 4 (real PNG+JPEG codecs)
     "range_join",
     "running_total",
     "sessionize",
