@@ -14,10 +14,12 @@ provides the Spark-side plumbing — typed metadata schema, Arrow-batched
   in-band error rows.
 - ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
   deterministic fixture format.
-- VIDEO decode stays STUBBED behind NotImplementedError (no video library
-  exists in this environment); swap the frame decoder for ffmpeg in
-  production — the Spark plan (schema, partitioning, per-batch decode,
-  bytes-column pruning) does not change.
+- VIDEO: YUV4MPEG2 (Y4M) streams decode for real (stdlib parser —
+  ``decode_y4m``/``encode_y4m``); compressed containers (MP4/H.264) stay
+  STUBBED behind an in-band stub error (no codec library exists in this
+  environment); swap ffmpeg into the frame decoder in production — the
+  Spark plan (schema, partitioning, per-batch decode, bytes-column
+  pruning) does not change.
 
 Reference parity: payload decode + per-page metrics is exactly the shape of
 /root/reference/utils/document_processor.py:92-207 (extract_page_data) —
@@ -341,12 +343,101 @@ def with_image_metrics(
     return df.mapInPandas(gen, out_schema)
 
 
+Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    frames: list, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Minimal YUV4MPEG2 writer: a list of (h, w) uint8 luma planes →
+    4:2:0 Y4M bytes with flat chroma (the video twin of the PNG/JPEG
+    fixture encoders). Y4M is the standard uncompressed interchange format
+    (mjpegtools/ffmpeg); a real stdlib parser for it gives the video path a
+    genuinely decodable container without any codec library."""
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    h, w = np.asarray(frames[0]).shape
+    if h % 2 or w % 2:
+        raise ValueError("Y4M 4:2:0 needs even frame dimensions")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n"
+    out = bytearray(head.encode("ascii"))
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for f in frames:
+        p = np.asarray(f, dtype=np.uint8)
+        if p.shape != (h, w):
+            raise ValueError("all Y4M frames must share one size")
+        out += b"FRAME\n" + p.tobytes() + chroma + chroma
+    return bytes(out)
+
+
+def decode_y4m(buf: bytes):
+    """Parse a YUV4MPEG2 stream → (width, height, fps_num, fps_den,
+    [luma planes]). Stdlib-only; supports the C420*/C422/C444/Cmono chroma
+    modes (chroma is skipped — the engine's metrics are luma-only).
+    Unknown chroma tags raise NotImplementedError → in-band error rows."""
+    if buf[:9] != Y4M_MAGIC:
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M missing header terminator")
+    w = h = None
+    fn, fd = 25, 1
+    chroma = "420jpeg"
+    for tok in buf[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            fn, fd = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("Y4M missing W/H")
+    if chroma.startswith("420"):
+        csize = (h // 2) * (w // 2) * 2
+    elif chroma == "422":
+        csize = h * (w // 2) * 2
+    elif chroma == "444":
+        csize = h * w * 2
+    elif chroma == "mono":
+        csize = 0
+    else:
+        raise NotImplementedError(f"Y4M chroma mode C{chroma} not supported")
+    ysize = h * w
+    frames = []
+    pos = nl + 1
+    n = len(buf)
+    while pos < n:
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0 or buf[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M frame marker sync lost")
+        pos = fnl + 1
+        if pos + ysize + csize > n:
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(buf, dtype=np.uint8, count=ysize, offset=pos)
+            .reshape(h, w)
+            .copy()
+        )
+        pos += ysize + csize
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return w, h, fn, fd, frames
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),
         StructField("frame_idx", IntegerType()),
         StructField("t_ms", DoubleType()),
         StructField("decode_ok", BooleanType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("luma_mean", DoubleType()),
         StructField("error", StringType()),
     ]
 )
@@ -360,26 +451,62 @@ def video_frame_sample(
     dur_ms_col: str = "dur_ms",
     every_ms: int = 1000,
 ) -> DataFrame:
-    """Frame-sampling plumbing: emits one row per sampled timestamp from the
-    declared metadata (fps/duration); the actual frame decode is stubbed —
-    rows carry decode_ok=false + a stub error, but the fan-out shape,
-    schema, and batch discipline are real and tested."""
+    """Frame sampling over a video-bytes column, one row per sampled
+    timestamp. YUV4MPEG2 payloads decode FOR REAL (:func:`decode_y4m`):
+    the sampled frame's luma stats and real dimensions come back,
+    timestamps derive from the stream's own fps, and a corrupt stream is
+    an in-band error row. Compressed containers (MP4/H.264 etc.) remain
+    stubbed — rows carry decode_ok=false + a stub error from the declared
+    metadata fan-out, but the shape, schema, and batch discipline are the
+    production ones (swap ffmpeg into the Y4M branch's place)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
-            for mid, dur in zip(pdf[id_col], pdf[dur_ms_col]):
+
+            def emit(mid, idx, t, ok, w, h, luma, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["t_ms"].append(t)
+                out["decode_ok"].append(ok)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["luma_mean"].append(luma)
+                out["error"].append(err)
+
+            for mid, buf, dur in zip(
+                pdf[id_col], pdf[payload_col], pdf[dur_ms_col]
+            ):
+                b = bytes(buf) if buf is not None else b""
+                if b[:9] == Y4M_MAGIC:
+                    try:
+                        w, h, fn, fd, frames = decode_y4m(b)
+                        frame_ms = 1000.0 * fd / fn
+                        total_ms = len(frames) * frame_ms
+                        n = max(1, int(total_ms) // every_ms)
+                        for i in range(n):
+                            t = float(i * every_ms)
+                            fi = min(int(t / frame_ms), len(frames) - 1)
+                            emit(mid, fi, t, True, w, h,
+                                 float(frames[fi].mean()), None)
+                    except NotImplementedError as exc:
+                        emit(mid, 0, 0.0, False, None, None, None,
+                             f"stub: {exc}")
+                    except Exception as exc:  # in-band error row
+                        emit(mid, 0, 0.0, False, None, None, None, str(exc))
+                    continue
                 n = max(1, int(dur) // every_ms) if dur and dur > 0 else 1
                 for i in range(n):
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["t_ms"].append(float(i * every_ms))
-                    out["decode_ok"].append(False)
-                    out["error"].append(
-                        "stub: video frame decode requires ffmpeg/av, "
-                        "absent in this environment"
-                    )
-            yield pd.DataFrame(out)
+                    emit(mid, i, float(i * every_ms), False, None, None,
+                         None,
+                         "stub: compressed video decode requires ffmpeg/av, "
+                         "absent in this environment")
+            o = pd.DataFrame(out)
+            # nullable dtypes keep None as NULL through the Arrow cast
+            o["width"] = pd.array(out["width"], dtype="Int32")
+            o["height"] = pd.array(out["height"], dtype="Int32")
+            o["luma_mean"] = pd.array(out["luma_mean"], dtype="Float64")
+            yield o
 
     return df.select(id_col, payload_col, dur_ms_col).mapInPandas(
         gen, VIDEO_FRAME_SCHEMA

@@ -278,8 +278,20 @@ def test_image_metrics_plumbing(spark):
 
 
 def test_video_frame_sample_fanout(spark):
+    """Compressed/opaque payloads keep the metadata-driven stub fan-out;
+    YUV4MPEG2 payloads decode for real: frame indices/timestamps from the
+    stream's own fps, per-frame luma stats, corrupt stream = in-band error."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.media import encode_y4m
+
+    frames = [np.full((16, 24), v, dtype=np.uint8)
+              for v in (10, 60, 110, 160, 210)]
+    y4m = encode_y4m(frames, fps=(2, 1))  # 2 fps -> 2500 ms of video
     df = spark.createDataFrame(
-        [("v1", b"xx", 3500), ("v2", b"yy", 0)],
+        [("v1", b"xx", 3500), ("v2", b"yy", 0),
+         ("v3", y4m, 0),                     # dur_ms meta ignored for Y4M
+         ("v4", y4m[:40], 0)],               # truncated stream
         "media_id string, bytes binary, dur_ms int",
     )
     rows = video_frame_sample(df, every_ms=1000).collect()
@@ -288,7 +300,18 @@ def test_video_frame_sample_fanout(spark):
         per.setdefault(r["media_id"], []).append(r)
     assert len(per["v1"]) == 3
     assert len(per["v2"]) == 1  # never-zero-segments
-    assert all(not r["decode_ok"] for r in rows)
+    assert all(not r["decode_ok"] for r in per["v1"] + per["v2"])
+    assert all(r["error"].startswith("stub:") for r in per["v1"])
+
+    v3 = sorted(per["v3"], key=lambda r: r["t_ms"])
+    assert [r["decode_ok"] for r in v3] == [True, True]
+    # 2500 ms @ every_ms=1000 -> samples at t=0 (frame 0) and t=1000 (frame 2)
+    assert [(r["frame_idx"], r["t_ms"]) for r in v3] == [(0, 0.0), (2, 1000.0)]
+    assert (v3[0]["width"], v3[0]["height"]) == (24, 16)
+    assert abs(v3[0]["luma_mean"] - 10.0) < 1e-9
+    assert abs(v3[1]["luma_mean"] - 110.0) < 1e-9
+    v4 = per["v4"][0]
+    assert not v4["decode_ok"] and not v4["error"].startswith("stub:")
 
 
 def test_escalated_confidence_consistency(spark, clips_dir):
