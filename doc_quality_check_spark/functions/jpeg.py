@@ -185,6 +185,9 @@ class _BitReader:
         self.pos += 1
         if b == 0xFF:
             nxt = self.buf[self.pos]
+            while nxt == 0xFF:  # T.81 B.1.1.2 fill bytes before a marker
+                self.pos += 1
+                nxt = self.buf[self.pos]
             if nxt == 0x00:
                 self.pos += 1  # stuffed 0xFF data byte
             else:
@@ -226,8 +229,11 @@ class _BitReader:
         self.nbits = 0
         if self.marker is None:
             # marker not yet pulled — it must be next in the raw stream
+            # (possibly behind 0xFF fill bytes, T.81 B.1.1.2)
             if self.buf[self.pos] != 0xFF:
                 raise ValueError("expected JPEG restart marker")
+            while self.buf[self.pos + 1] == 0xFF:
+                self.pos += 1
             self.marker = self.buf[self.pos + 1]
             self.pos += 2
         if not (0xD0 <= self.marker <= 0xD7):
@@ -293,6 +299,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip to the last 0xFF of the run
+        while pos + 2 < n and buf[pos + 1] == 0xFF:
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -489,7 +499,9 @@ def _encode_blocks(
     restart_interval: int = 0,
 ) -> None:
     """Forward-DCT, quantize, and Huffman-encode an 8-aligned plane in
-    raster block order (single-component scan layout; MCU = one block)."""
+    raster block order (single-component scan layout; MCU = one block).
+    ``q`` must be in ZIGZAG order (same as the DQT segment, T.81 B.2.4.1)
+    so each scanned coefficient divides by its own frequency's step."""
     hh, ww = plane.shape
     pred = 0
     u = 0
@@ -572,7 +584,10 @@ def encode_jpeg_gray(
     if plane.ndim != 2:
         raise ValueError("encode_jpeg_gray expects an (h, w) array")
     h, w = plane.shape
-    qy = _scale_quant(QUANT_LUMA, quality)
+    # zigzag-reorder once: DQT stores Qk in ZIGZAG order (T.81 B.2.4.1) and
+    # the block encoder quantizes zigzag-scanned coefficients, so both
+    # consume the same permuted table
+    qy = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
     dc_y = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
 
@@ -593,7 +608,7 @@ def encode_jpeg_gray(
         _encode_blocks(wr, _pad_edge(plane, 8), qy, dc_y, ac_y,
                        restart_interval)
     else:
-        qc = _scale_quant(QUANT_CHROMA, quality)
+        qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
         out += _seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc))
         out += _seg(
             0xC0,

@@ -217,7 +217,9 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
 
 
 def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """bytes → (width, height, grayscale array). PNG is real; JPEG stubbed."""
+    """bytes → (width, height, grayscale array). PNG and baseline JPEG are
+    real from-scratch decoders; progressive JPEG raises NotImplementedError
+    (in-band error row downstream)."""
     if buf is None or len(buf) == 0:
         return 0, 0, np.zeros(0, dtype=np.uint8)  # empty-input default row
     b = bytes(buf)
@@ -271,9 +273,11 @@ def image_metrics(
     return df.select(id_col, payload_col).mapInPandas(gen, IMAGE_META_SCHEMA)
 
 
-# columns appended by with_image_metrics (suite/compiler.py's image row
-# kinds read these; suite/runner.py triggers the decode when a check
-# references one)
+# columns appended by with_image_metrics. suite/compiler.py's image row
+# kinds read these, and suite/runner.py triggers the image decode pass when
+# ANY check references one (generic in_range/expr checks included) — and
+# skips those checks under payload=False, mirroring the audio
+# DERIVED_METRIC_COLUMNS contract.
 IMAGE_METRIC_COLUMNS = (
     "img_decode_ok",
     "img_width",

@@ -162,6 +162,7 @@ class ValidationJob:
             c for c in suite.checks
             if c.constraint_id in revalidate and c.is_row_level
         ]
+        sub_res = None
         if reval_checks and completed:
             from doc_quality_check_spark.suite.runner import part_key_col
 
@@ -255,6 +256,13 @@ class ValidationJob:
         verdict_rows = [r.asDict() for r in res.verdicts.collect()]
         res.verdicts.write.mode("overwrite").parquet(verd_path)
         write_sec = time.perf_counter() - t_write
+        if sub_res is not None:
+            # the revalidation sub-run's checked cache served its purpose
+            # once the unions above are materialized (violations written,
+            # verdicts collected) — release it rather than pinning a
+            # payload-decoded cache of the carried-forward partitions for
+            # the application lifetime
+            sub_res.unpersist()
         self.manifests.record_partitions(m, verdict_rows)
         # per-operator timing in the manifest — the reference returns wall
         # time with every metric (clarity_check.py:21,37; SURVEY.md F20)

@@ -108,6 +108,24 @@ class RunResult:
         self.checked.unpersist()
 
 
+def _image_payload_col(image_checks) -> str:
+    """The image PAYLOAD column for the decode pass: named by the image row
+    kinds' ``.column``; generic checks referencing an img_* metric column
+    ride the same decode and default to ``bytes``."""
+    from doc_quality_check_spark.suite.spec import IMAGE_ROW_KINDS
+
+    cols = {
+        c.column or "bytes"
+        for c in image_checks
+        if c.kind in IMAGE_ROW_KINDS
+    } or {"bytes"}
+    if len(cols) > 1:
+        raise ValueError(
+            f"image checks must share one payload column, got {sorted(cols)}"
+        )
+    return cols.pop()
+
+
 class SuiteRunner:
     def __init__(self, suite: CheckSuite):
         self.suite = suite
@@ -174,12 +192,34 @@ class SuiteRunner:
             # decodes+fingerprints the bytes column, so it is skipped the
             # same way row-level payload checks are below
             table_checks = [c for c in table_checks if c.kind != "payload_neardup"]
+        from doc_quality_check_spark.functions.media import (
+            IMAGE_METRIC_COLUMNS,
+        )
         from doc_quality_check_spark.suite.spec import IMAGE_ROW_KINDS
 
-        # image row kinds run their own media decode pass (not the audio
-        # one) — they must not trigger with_payload_metrics
+        def _references_image(c) -> bool:
+            # generic checks (in_range/expr/... on img_luma_mean etc.)
+            # demand the image decode exactly as metric-referencing generic
+            # checks demand the audio decode
+            if c.column in IMAGE_METRIC_COLUMNS:
+                return True
+            if c.kind == "expr":
+                expr = str(c.params.get("expr", ""))
+                return any(
+                    _re.search(rf"\b{m}\b", expr)
+                    for m in IMAGE_METRIC_COLUMNS
+                )
+            return False
+
+        # image row kinds (and generic checks referencing an img_* column)
+        # run their own media decode pass (not the audio one) — they must
+        # not trigger with_payload_metrics
         image_checks = (
-            [c for c in row_checks if c.kind in IMAGE_ROW_KINDS]
+            [
+                c
+                for c in [*row_checks, *table_checks]
+                if c.kind in IMAGE_ROW_KINDS or _references_image(c)
+            ]
             if payload
             else []
         )
@@ -237,27 +277,25 @@ class SuiteRunner:
             # here when payload=True — their decode pass runs below
             row_checks = [
                 c for c in row_checks
-                if (c.kind in IMAGE_ROW_KINDS and payload)
+                if (
+                    payload
+                    and (c.kind in IMAGE_ROW_KINDS or _references_image(c))
+                )
                 or (
                     c.kind not in IMAGE_ROW_KINDS
                     and not c.kind.startswith("payload_")
                     and not _references_metric(c)
+                    and not _references_image(c)
                 )
             ]
             # an image-only media table may carry its payload in 'bytes' —
             # the image pass below consumes (and drops) it itself
-            if not any((c.column or "bytes") == "bytes" for c in image_checks):
+            if not image_checks or _image_payload_col(image_checks) != "bytes":
                 df = df.drop("bytes")
         if image_checks:
             from doc_quality_check_spark.functions.media import with_image_metrics
 
-            img_cols = {c.column or "bytes" for c in image_checks}
-            if len(img_cols) > 1:
-                raise ValueError(
-                    "image checks must share one payload column, got "
-                    f"{sorted(img_cols)}"
-                )
-            img_col = img_cols.pop()
+            img_col = _image_payload_col(image_checks)
             if img_col not in df.columns:
                 raise ValueError(
                     f"image checks reference missing column {img_col!r}"

@@ -139,3 +139,39 @@ def test_jpeg_in_declarative_suite(spark):
              for r in res.violations.collect()}
     assert viols == {("white", "luma")}
     res.unpersist()
+
+
+def test_jpeg_dqt_is_zigzag_ordered():
+    """T.81 B.2.4.1: DQT stores Qk in zigzag order. A raster-ordered table
+    would still roundtrip against this repo's decoder (the errors cancel)
+    but the emitted file would be garbled by any real decoder — pin the
+    on-wire ordering itself."""
+    from doc_quality_check_spark.functions.jpeg import (
+        QUANT_LUMA,
+        ZIGZAG,
+        _scale_quant,
+    )
+
+    buf = encode_jpeg_gray(_smooth(16, 16), quality=90)
+    i = buf.find(b"\xff\xdb")
+    stored = np.frombuffer(buf[i + 5 : i + 5 + 64], dtype=np.uint8)
+    assert np.array_equal(stored.astype(np.int64),
+                          _scale_quant(QUANT_LUMA, 90)[ZIGZAG])
+
+
+def test_jpeg_fill_bytes_tolerated():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes — in the
+    header stream and before RST markers inside entropy data."""
+    img = _smooth(24, 24)
+    plain = encode_jpeg_gray(img, quality=90)
+    ref = decode_jpeg(plain)[2]
+    # fill bytes before a header marker (DQT)
+    j = plain.find(b"\xff\xdb")
+    padded = plain[:j] + b"\xff\xff" + plain[j:]
+    assert np.array_equal(decode_jpeg(padded)[2], ref)
+    # fill byte before a restart marker
+    rst = encode_jpeg_gray(img, quality=90, restart_interval=2)
+    k = rst.find(b"\xff\xd0")
+    assert k > 0
+    padded_rst = rst[:k] + b"\xff" + rst[k:]
+    assert np.array_equal(decode_jpeg(padded_rst)[2], decode_jpeg(rst)[2])

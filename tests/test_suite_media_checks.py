@@ -221,3 +221,37 @@ def test_media_suite_json_roundtrip():
         "payload_neardup", "payload_image_decode", "image_luma_range",
     ]
     assert rt.checks[0].params["max_dup_rate"] == 0.05
+
+
+def test_generic_checks_reference_image_metrics(spark, media_table):
+    """A generic check referencing an img_* metric column triggers the
+    image decode pass by itself (no image row kind needed), and is skipped
+    under payload=False — the image analog of the audio derived-metric
+    contract."""
+    suite = CheckSuite(
+        name="img_generic",
+        checks=[
+            Check("id_present", "not_null", "clip_id", priority=1),
+            Check("luma_bound", "in_range", "img_luma_mean",
+                  {"min": 10.0, "max": 245.0}, priority=2),
+            Check("wide_enough", "expr", None,
+                  {"expr": "img_width >= 4 OR NOT img_decode_ok"},
+                  priority=3),
+        ],
+    )
+    res = SuiteRunner(suite).run(media_table, payload=True)
+    checked = {r["clip_id"]: r for r in res.checked.collect()}
+    assert "img_luma_mean" in res.checked.columns  # decode pass ran
+    assert "bytes" not in res.checked.columns
+    viols = {(r["clip_id"], r["constraint_id"])
+             for r in res.violations.collect()}
+    assert ("too_bright", "luma_bound") in viols
+    assert ("too_dark", "luma_bound") in viols
+    # NULL metric (undecodable row) passes generic range checks as usual
+    assert checked["corrupt"]["passed__luma_bound"]
+    res.unpersist()
+
+    meta = SuiteRunner(suite).run(media_table, payload=False)
+    cids = {r["constraint_id"] for r in meta.verdicts.collect()}
+    assert cids == {"id_present"}  # both img-referencing checks skipped
+    meta.unpersist()
