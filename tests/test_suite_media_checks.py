@@ -255,3 +255,32 @@ def test_generic_checks_reference_image_metrics(spark, media_table):
     cids = {r["constraint_id"] for r in meta.verdicts.collect()}
     assert cids == {"id_present"}  # both img-referencing checks skipped
     meta.unpersist()
+
+
+def test_multimodal_example(spark, tmp_path):
+    """examples/multimodal_validation.py: audio + image + video columns
+    validated by ONE declarative suite; the near-dup audio take and the
+    too-dark JPEG violate, the Y4M frames decode for real."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples"))
+    from multimodal_validation import run_multimodal
+
+    res, frames = run_multimodal(spark, str(tmp_path / "mm"))
+    verdicts = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert verdicts["audio_decodes"]["passed"]
+    assert not verdicts["audio_dup_rate"]["passed"]  # m1 near-dups m0
+    assert verdicts["audio_dup_rate"]["n_violations"] == 1
+    assert verdicts["img_decodes"]["passed"]
+    assert not verdicts["img_luma"]["passed"]  # the too-dark JPEG
+    viols = {(r["clip_id"], r["constraint_id"])
+             for r in res.violations.collect()}
+    assert ("m1", "audio_dup_rate") in viols
+    assert ("m2", "img_luma") in viols
+    f = frames.collect()
+    assert all(r["decode_ok"] for r in f)
+    assert {r["media_id"] for r in f} == {"m0", "m1", "m2"}
+    res.unpersist()
