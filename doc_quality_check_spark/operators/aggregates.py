@@ -749,3 +749,54 @@ def group_zscore_outliers(
             F.round(z, 4).alias("z"),
         )
     )
+
+
+def pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: tuple = (),
+    ndigits: int = 6,
+    exact_integers: bool = True,
+) -> DataFrame:
+    """Pearson correlation between two numeric columns → (group..., corr),
+    all groups in ONE grouped aggregate (map-side partial, single shuffle).
+
+    Built from EXACT sums — corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)
+    (n·Syy − Sy²)) with the sums taken in the columns' native integer/
+    decimal types — instead of the engine's streaming ``corr()``: the
+    closed formula over exact sums is deterministic and reproducible
+    bit-for-bit in ANSI SQL (the driver-oracle parity rule for floats),
+    while built-in one-pass correlation accumulates float error in an
+    engine-specific order. NULL when either column is constant (zero
+    variance — correlation undefined) or n < 2. Rows where either side is
+    NULL are excluded (the SQL ``corr`` convention).
+
+    ``exact_integers=True`` (default) sums in BIGINT — exact and
+    order-insensitive, the oracle-parity path; REQUIRES integer-valued
+    columns (a float would truncate). Pass False for float columns: sums
+    run in DOUBLE (deterministic per plan, not bit-portable across
+    engines — fine for suite checks, not for a hash-compared oracle)."""
+    both = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    t = "long" if exact_integers else "double"
+    x = F.col(x_col).cast(t)
+    y = F.col(y_col).cast(t)
+    agg = both.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    cov = n * F.col("__sxy").cast("double") - sx * sy
+    vx = n * F.col("__sxx").cast("double") - sx * sx
+    vy = n * F.col("__syy").cast("double") - sy * sy
+    corr = F.when(
+        (F.col("__n") >= 2) & (vx > 0) & (vy > 0),
+        F.round(cov / F.sqrt(vx * vy), ndigits),
+    ).alias("corr")
+    return agg.select(*group_cols, corr)

@@ -1522,6 +1522,58 @@ ORDER BY doc_id
 """
 
 
+def q_column_corr(spark, sf):
+    """Per-language Pearson correlation between declared n_chars and the
+    measured whitespace word count (column-relationship profiling — the
+    Deequ `correlation` analyzer shape). Exact-integer-sum closed formula
+    (operators/aggregates.pearson_corr), so the float result is
+    bit-reproducible in the DuckDB oracle: one grouped aggregate, single
+    shuffle."""
+    from doc_quality_check_spark.operators.aggregates import pearson_corr
+
+    d = t(spark, sf, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("y"),
+    )
+    return pearson_corr(d, "x", "y", group_cols=("lang",)).orderBy("lang")
+
+
+# same exact-BIGINT-sums closed formula: both engines compute identical
+# integers, divide once in DOUBLE, and round 6dp — no streaming corr()
+# whose accumulation order differs per engine
+SQL_COLUMN_CORR = """
+WITH b AS (
+  SELECT lang,
+         n_chars AS x,
+         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS y
+  FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY lang
+)
+SELECT lang,
+       CASE WHEN n >= 2
+                 AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+            THEN round(
+              (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                   * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+              6)
+       END AS corr
+FROM s
+ORDER BY lang
+"""
+
+
 def q_heavy_hitters(spark, sf):
     """Exact token heavy hitters over documents (the exact baseline a
     count-min sketch approximates at scale)."""
@@ -2222,6 +2274,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iou_dedupe": q_iou_dedupe,
     "audio_neardup": q_audio_neardup,
     "image_decode_metrics": q_image_decode_metrics,
+    "column_corr": q_column_corr,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "self_drift": q_self_drift,
@@ -2242,6 +2295,7 @@ ORACLES_EXT: dict[str, str] = {
     "skew_profile": SQL_SKEW_PROFILE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "image_decode_metrics": SQL_IMAGE_DECODE_METRICS,
+    "column_corr": SQL_COLUMN_CORR,
     "text_clean": SQL_TEXT_CLEAN,
     "artifact_typology": _artifact_sql(),
     "lang_id": _lang_sql(),

@@ -712,6 +712,28 @@ class SuiteRunner:
             )
             metric = float(n_viol) / n_rows if n_rows else 0.0
             passed = metric <= float(p.get("max_dup_rate", 0.0))
+        elif check.kind == "corr_range":
+            # Pearson correlation between check.column and params["col2"]
+            # (Deequ correlation-analyzer shape) — one grouped aggregate;
+            # NULL corr (constant column / n<2) cannot attest the bound
+            from doc_quality_check_spark.operators.aggregates import (
+                pearson_corr,
+            )
+
+            col2 = p["col2"]
+            row = pearson_corr(
+                df, check.column, col2,
+                exact_integers=_param_bool(p.get("exact_integers", False)),
+            ).first()
+            val = None if row is None else row["corr"]
+            metric = None if val is None else float(val)
+            n_rows = df.count()
+            n_viol = 0
+            passed = (
+                metric is not None
+                and float(p.get("min", -1.0)) <= metric
+                <= float(p.get("max", 1.0))
+            )
         elif check.kind in ("drift_psi", "drift_ks", "drift_w1", "drift_chi2"):
             if baseline is None:
                 raise ValueError(f"check {cid} needs a baseline snapshot DataFrame")

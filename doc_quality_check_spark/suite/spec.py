@@ -21,7 +21,10 @@ Table-level (evaluated by the runner as aggregates / joins; schema_match
 is pure metadata — no job):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
   drift_ks | drift_w1 | drift_chi2 | distinct_range | quantile_range |
-  entropy_range | schema_match | payload_neardup``
+  entropy_range | schema_match | payload_neardup | corr_range``
+(``corr_range`` bounds the Pearson correlation between ``column`` and
+``params["col2"]`` — the Deequ correlation-analyzer shape,
+operators/aggregates.pearson_corr)
 (``payload_neardup`` bounds the audio near-duplicate rate — spectral
 fingerprints + pigeonhole LSH + connected components,
 operators/audio_dedup.py; violations list every non-kept cluster member)
@@ -74,6 +77,7 @@ TABLE_LEVEL_KINDS = {
     "entropy_range",
     "schema_match",
     "payload_neardup",
+    "corr_range",
 }
 
 

@@ -31,6 +31,7 @@ SF_DIR = "/root/testdata/sf0.01"
 # covered by tests/test_audio_dedup.py instead.
 NEVER_SAMPLED = [
     "asof_join",
+    "column_corr",  # new in round 4 (exact-sum Pearson correlation)
     "column_entropy",
     "heavy_hitters_cms",
     "image_decode_metrics",  # new in round 4 (real PNG+JPEG codecs)

@@ -609,3 +609,44 @@ def test_prefix_sum_preserves_columns(spark):
     assert {(r["k"], r["running"]) for r in out.collect()} == {
         (1, 5), (2, 15), (3, 16)
     }
+
+
+def test_corr_range_check(spark):
+    """corr_range: Pearson correlation between two columns bounded by the
+    suite; perfectly correlated, anti-correlated, independent, and
+    degenerate (constant) columns all verdict correctly — and the exact
+    integer-sum formula matches numpy."""
+    n = 400
+    rows = [(f"r{i}",
+             i,                       # x
+             2 * i + 7,               # y: corr +1
+             -3 * i,                  # z: corr -1
+             (i * 2654435761) % 997,  # w: hash-scrambled ~ independent
+             5)                       # c: constant -> corr undefined
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, x long, y long, z long, w long, c long")
+    suite = CheckSuite(
+        name="corr",
+        checks=[
+            Check("xy_pos", "corr_range", "x", {"col2": "y", "min": 0.999}),
+            Check("xz_neg", "corr_range", "x",
+                  {"col2": "z", "max": -0.999}),
+            Check("xw_none", "corr_range", "x",
+                  {"col2": "w", "min": -0.2, "max": 0.2}),
+            Check("xc_degenerate", "corr_range", "x", {"col2": "c"}),
+        ],
+    )
+    res = SuiteRunner(suite).run(df, payload=False)
+    v = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert v["xy_pos"]["passed"] and v["xy_pos"]["metric_value"] == 1.0
+    assert v["xz_neg"]["passed"] and v["xz_neg"]["metric_value"] == -1.0
+    assert v["xw_none"]["passed"]
+    xs = np.array([r[1] for r in rows], dtype=np.float64)
+    ws = np.array([r[4] for r in rows], dtype=np.float64)
+    assert v["xw_none"]["metric_value"] == pytest.approx(
+        float(np.corrcoef(xs, ws)[0, 1]), abs=1e-6)
+    # constant column: correlation undefined -> NULL metric, cannot attest
+    assert v["xc_degenerate"]["passed"] is False
+    assert v["xc_degenerate"]["metric_value"] is None
+    res.unpersist()
