@@ -55,6 +55,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # sessionize is deliberately staleness-2 (sampled r2, hash-mismatched, fixed
 # in r3): the fix still pends driver confirmation, and rank 34 here keeps it
 # inside the sampled prefix.
+#
+# The literal map below is the r1-r3 history; _last_driver_round() extends
+# it from any CORRECTNESS_r*.json records present in the repo root, so
+# future rounds rotate automatically without editing this file.
 _LAST_DRIVER_ROUND: dict[str, int] = {
     # r1 (not re-sampled since)
     "heavy_hitters": 1, "self_drift": 1, "moving_avg": 1,
@@ -88,10 +92,43 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
 }
 
 
+def _last_driver_round() -> dict[str, int]:
+    """The literal r1-r3 history extended by any newer driver records on
+    disk (CORRECTNESS_r04.json, r05, ...): the max round that sampled each
+    query wins. Unreadable/absent records degrade to the literal map."""
+    import glob
+    import json
+    import re
+
+    last = dict(_LAST_DRIVER_ROUND)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= 3:
+            continue  # already in the literal map
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except Exception:
+            continue
+        qs = rec.get("queries", rec)
+        names = qs if isinstance(qs, dict) else [
+            q.get("name") for q in qs if isinstance(q, dict)
+        ]
+        for n in names:
+            if isinstance(n, str):
+                last[n] = max(last.get(n, 0), rnd)
+    return last
+
+
 def _staleness_order(names) -> list[str]:
     # stable sort: unknown names (never sampled / new this round) rank 0,
     # ties keep registry insertion order
-    return sorted(names, key=lambda n: _LAST_DRIVER_ROUND.get(n, 0))
+    last = _last_driver_round()
+    return sorted(names, key=lambda n: last.get(n, 0))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -99,4 +136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: ORACLES[n] for n in _staleness_order(ORACLES)}
+    # same order as queries() (QUERIES insertion breaks rank ties, not
+    # ORACLES insertion), so the two registries stay aligned
+    return {n: ORACLES[n] for n in _staleness_order(QUERIES) if n in ORACLES}

@@ -102,3 +102,18 @@ def test_oracle_parity(name, spark, entry, duck):
         f"{name}: value hash mismatch {s_hash[:12]} != {d_hash[:12]} "
         f"({len(srows)} rows)"
     )
+
+
+def test_registry_rotates_by_staleness(entry):
+    """queries()/oracle_sql() order by driver-confirmation staleness
+    (never-sampled rank 0 first), extended automatically from any
+    CORRECTNESS_r*.json records on disk — the prefix the driver samples
+    always covers the least-recently-confirmed queries."""
+    last = entry._last_driver_round()
+    order = list(entry.queries())
+    ranks = [last.get(n, 0) for n in order]
+    assert ranks == sorted(ranks), "registry not in staleness order"
+    # oracle_sql order is consistent with queries order
+    osql = list(entry.oracle_sql())
+    filtered = [n for n in order if n in set(osql)]
+    assert filtered == osql
