@@ -94,8 +94,12 @@ _LAST_DRIVER_ROUND: dict[str, int] = {
 
 def _last_driver_round() -> dict[str, int]:
     """The literal r1-r3 history extended by any newer driver records on
-    disk (CORRECTNESS_r04.json, r05, ...): the max round that sampled each
-    query wins. Unreadable/absent records degrade to the literal map."""
+    disk (CORRECTNESS_r04.json, r05, ...): the max round that CONFIRMED
+    each query wins. A FAILED sample (rows/schema/hash mismatch or err) is
+    NOT a confirmation — the query keeps its old rank, stays in the sampled
+    prefix, and gets re-sampled until it passes (the r2 sessionize
+    hash-fail rotating out of sight is exactly the blind spot this rule
+    closes). Unreadable/odd-shaped records degrade to the literal map."""
     import glob
     import json
     import re
@@ -112,15 +116,27 @@ def _last_driver_round() -> dict[str, int]:
         try:
             with open(path) as fh:
                 rec = json.load(fh)
+            qs = rec.get("queries", rec) if isinstance(rec, dict) else rec
+            if isinstance(qs, dict):
+                items = qs.items()
+            else:
+                items = [
+                    (q.get("name"), q) for q in qs if isinstance(q, dict)
+                ]
+            for n, v in items:
+                if not isinstance(n, str):
+                    continue
+                v = v if isinstance(v, dict) else {}
+                failed = (
+                    v.get("err") is not None
+                    or v.get("rows_match") is False
+                    or v.get("schema_match") is False
+                    or v.get("hash_match") is False
+                )
+                if not failed:
+                    last[n] = max(last.get(n, 0), rnd)
         except Exception:
             continue
-        qs = rec.get("queries", rec)
-        names = qs if isinstance(qs, dict) else [
-            q.get("name") for q in qs if isinstance(q, dict)
-        ]
-        for n in names:
-            if isinstance(n, str):
-                last[n] = max(last.get(n, 0), rnd)
     return last
 
 

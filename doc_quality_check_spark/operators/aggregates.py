@@ -761,27 +761,55 @@ def pearson_corr(
 ) -> DataFrame:
     """Pearson correlation between two numeric columns → (group..., corr),
     all groups in ONE grouped aggregate (map-side partial, single shuffle).
+    NULL when correlation is undefined (either column constant, or n < 2);
+    rows where either side is NULL are excluded (the SQL ``corr``
+    convention).
 
-    Built from EXACT sums — corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)
-    (n·Syy − Sy²)) with the sums taken in the columns' native integer/
-    decimal types — instead of the engine's streaming ``corr()``: the
-    closed formula over exact sums is deterministic and reproducible
-    bit-for-bit in ANSI SQL (the driver-oracle parity rule for floats),
-    while built-in one-pass correlation accumulates float error in an
-    engine-specific order. NULL when either column is constant (zero
-    variance — correlation undefined) or n < 2. Rows where either side is
-    NULL are excluded (the SQL ``corr`` convention).
+    Two modes, two failure models:
 
-    ``exact_integers=True`` (default) sums in BIGINT — exact and
-    order-insensitive, the oracle-parity path; REQUIRES integer-valued
-    columns (a float would truncate). Pass False for float columns: sums
-    run in DOUBLE (deterministic per plan, not bit-portable across
-    engines — fine for suite checks, not for a hash-compared oracle)."""
+    ``exact_integers=True`` — the ORACLE-PARITY path: the closed formula
+    corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²)) over exact
+    BIGINT sums, deterministic and reproducible bit-for-bit in ANSI SQL,
+    unlike streaming ``corr()`` whose accumulation order is
+    engine-specific. REQUIRES integral columns (enforced — a decimal/float
+    would silently truncate) with magnitudes small enough that n·x² stays
+    inside BIGINT (|x| ≲ 3·10⁹/√n; beyond that ANSI mode fails the job
+    loudly with ARITHMETIC_OVERFLOW rather than wrapping).
+
+    ``exact_integers=False`` — the GENERAL path for suite checks over
+    arbitrary numeric columns: Spark's built-in ``corr`` (stable co-moment
+    accumulation, immune to the catastrophic cancellation that the closed
+    formula suffers on large-magnitude columns such as epoch-millis, where
+    n·Sxx − Sx² in DOUBLE can even go negative); not bit-portable across
+    engines, so never pair it with a hash-compared oracle."""
     both = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    t = "long" if exact_integers else "double"
-    x = F.col(x_col).cast(t)
-    y = F.col(y_col).cast(t)
-    agg = both.groupBy(*[F.col(g) for g in group_cols]).agg(
+    gcols = [F.col(g) for g in group_cols]
+    if not exact_integers:
+        # covar_samp / (stddev * stddev) == Pearson r via the same stable
+        # co-moment accumulators as corr(), but ANSI-safe: a constant
+        # column (zero stddev) or n<2 yields NULL through try_divide where
+        # corr() raises DIVIDE_BY_ZERO under Spark 4's ANSI mode
+        xd = F.col(x_col).cast("double")
+        yd = F.col(y_col).cast("double")
+        c = F.try_divide(
+            F.covar_samp(xd, yd), F.stddev_samp(xd) * F.stddev_samp(yd)
+        )
+        corr = F.when(
+            c.isNotNull() & ~F.isnan(c), F.round(c, ndigits)
+        ).alias("corr")
+        return both.groupBy(*gcols).agg(corr)
+    integral = ("byte", "short", "int", "bigint", "long")
+    for col in (x_col, y_col):
+        dt = dict(df.dtypes).get(col, "")
+        if dt not in integral:
+            raise ValueError(
+                f"pearson_corr(exact_integers=True) requires integral "
+                f"columns; {col!r} is {dt!r} — pass exact_integers=False "
+                "for float/decimal columns"
+            )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = both.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(x).alias("__sx"),
         F.sum(y).alias("__sy"),

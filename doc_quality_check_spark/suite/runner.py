@@ -363,6 +363,17 @@ class SuiteRunner:
                 for c in table_checks
                 if c.column and c.kind != "payload_neardup"
             }
+            # corr_range reads a SECOND column from params: validate it
+            # upfront (clean error, not a worker-thread AnalysisException)
+            # and let it force the decode exactly like a .column reference
+            for c in table_checks:
+                if c.kind == "corr_range":
+                    if not c.params.get("col2"):
+                        raise ValueError(
+                            f"check {c.constraint_id}: corr_range requires "
+                            "params['col2'] (the second column)"
+                        )
+                    needed.add(c.params["col2"])
             missing = needed - set(table_df.columns)
             if missing:
                 if payload and missing & DERIVED_METRIC_COLUMNS:

@@ -117,3 +117,41 @@ def test_registry_rotates_by_staleness(entry):
     osql = list(entry.oracle_sql())
     filtered = [n for n in order if n in set(osql)]
     assert filtered == osql
+
+
+def test_rotation_ignores_failed_samples(entry, tmp_path, monkeypatch):
+    """A driver record row with a mismatch/err is NOT a confirmation: the
+    query keeps its old rank and stays in the sampled prefix (the r2
+    sessionize hash-fail must never rotate out of sight). Odd-shaped or
+    unreadable records degrade to the literal map instead of crashing."""
+    import json
+    import shutil
+
+    src_dir = os.path.dirname(os.path.abspath(entry.__file__))
+    shutil.copy(os.path.join(src_dir, "__spark_entry__.py"),
+                tmp_path / "__spark_entry__.py")
+    # fake r9 record: one green row, one hash-fail, one err row
+    (tmp_path / "CORRECTNESS_r09.json").write_text(json.dumps({
+        "upsample_groups": {"rows_match": True, "schema_match": True,
+                            "hash_match": True, "err": None},
+        "sessionize": {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "err": None},
+        "asof_join": {"err": "boom"},
+    }))
+    # malformed top-level-array record must not crash the entrypoints
+    (tmp_path / "CORRECTNESS_r10.json").write_text('[{"name": "range_join"}]')
+    (tmp_path / "CORRECTNESS_r11.json").write_text("{not json")
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_under_test", tmp_path / "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    last = mod._last_driver_round()
+    assert last["upsample_groups"] == 9          # green row confirms
+    assert last.get("sessionize") == 2           # hash-fail: rank unchanged
+    assert last.get("asof_join", 0) == 0         # err row: still unconfirmed
+    assert last.get("range_join", 0) == 10       # list-of-dicts shape parses
+    order = list(mod.queries())                  # and nothing crashed
+    assert order.index("asof_join") < order.index("upsample_groups")

@@ -650,3 +650,33 @@ def test_corr_range_check(spark):
     assert v["xc_degenerate"]["passed"] is False
     assert v["xc_degenerate"]["metric_value"] is None
     res.unpersist()
+
+
+def test_corr_range_large_magnitude_stability(spark):
+    """The general (non-exact) corr path uses stable co-moments: epoch-millis
+    scale values — where the closed n*Sxx - Sx^2 formula catastrophically
+    cancels in DOUBLE (can even go negative) — still score corr == 1."""
+    base = 1_700_000_000_000
+    rows = [(f"r{i}", base + i * 60_000, float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "clip_id string, ts long, v double")
+    suite = CheckSuite(
+        name="bigmag",
+        checks=[Check("ts_v", "corr_range", "ts",
+                      {"col2": "v", "min": 0.999})],
+    )
+    res = SuiteRunner(suite).run(df, payload=False)
+    v = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert v["ts_v"]["passed"] and v["ts_v"]["metric_value"] == 1.0
+    res.unpersist()
+
+    # exact mode refuses non-integral columns instead of truncating
+    from doc_quality_check_spark.operators.aggregates import pearson_corr
+
+    with pytest.raises(ValueError, match="integral"):
+        pearson_corr(df, "ts", "v", exact_integers=True)
+
+    # corr_range without col2 fails upfront with a clean error
+    bad = CheckSuite(
+        name="nocol2", checks=[Check("c", "corr_range", "ts", {})])
+    with pytest.raises(ValueError, match="col2"):
+        SuiteRunner(bad).run(df, payload=False)
