@@ -62,14 +62,54 @@ def threshold_sweep(df: DataFrame, column: str, thresholds: list[float]) -> Data
     return df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
 
 
-def histogram(df: DataFrame, column: str, as_string: bool = True) -> DataFrame:
-    """Categorical histogram → (bucket, count)."""
-    b = F.col(column).cast("string") if as_string else F.col(column)
+def bucket_col(column: str, bin_width: float | None = None) -> F.Column:
+    """The drift-histogram bucket expression for ``column``.
+
+    ``bin_width=None``: the raw value cast to string (categorical — codec
+    names, small integer domains). With ``bin_width=w``: equi-width bins
+    labeled by their lower edge, ``floor(col/w)*w`` as a string. Binning is
+    what keeps the histogram TINY at 10^12 rows for continuous columns
+    (raw dur_ms would make the 'histograms are small aggregates' premise
+    false — millions of distinct buckets shuffling per drift check);
+    numeric bin labels also give KS/W1 a real ordered support. Integral
+    widths label with BIGINT edges (exact string form, oracle-safe);
+    fractional widths label with DOUBLE edges. NULL values stay a NULL
+    bucket either way. The BASELINE must be written with the same width
+    (snapshot_histograms ``bin_width``) — a mismatch shows up loudly as
+    near-total drift, never silently."""
+    if bin_width is None:
+        return F.col(column).cast("string")
+    if float(bin_width) <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    w = float(bin_width)
+    edge = F.floor(F.col(column) / F.lit(w))
+    if w == int(w):
+        lab = (edge.cast("long") * F.lit(int(w))).cast("string")
+    else:
+        lab = (edge.cast("double") * F.lit(w)).cast("string")
+    return lab
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    as_string: bool = True,
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Categorical or equi-width-binned histogram → (bucket, count).
+    See :func:`bucket_col` for the binning contract."""
+    if bin_width is not None:
+        b = bucket_col(column, bin_width)
+    else:
+        b = F.col(column).cast("string") if as_string else F.col(column)
     return df.groupBy(b.alias("bucket")).agg(F.count("*").alias("count"))
 
 
 def snapshot_histograms(
-    df: DataFrame, columns: list[str], group_col: str | None = None
+    df: DataFrame,
+    columns: list[str],
+    group_col: str | None = None,
+    bin_width: dict[str, float] | None = None,
 ) -> DataFrame:
     """Baseline-snapshot writer for the drift checks (A12): one pass per
     column (unioned; each is a tiny aggregate) producing the
@@ -79,11 +119,17 @@ def snapshot_histograms(
     ``group_col`` (e.g. ``part_key``) adds that column to every histogram
     row, producing the GROUPED (group, metric, bucket, count) layout the
     per-partition drift check consumes (runner ``per_partition`` param +
-    :func:`drift_psi_by_group`)."""
+    :func:`drift_psi_by_group`).
+
+    ``bin_width`` maps continuous columns to an equi-width bin size
+    (:func:`bucket_col`) — give every continuous column one, and pass the
+    SAME width as the drift check's ``bin_width`` param, or the bucket
+    labels won't align."""
+    bin_width = bin_width or {}
     parts = []
     for c in columns:
         keys = ([F.col(group_col)] if group_col else []) + [
-            F.col(c).cast("string").alias("bucket")
+            bucket_col(c, bin_width.get(c)).alias("bucket")
         ]
         head = ([group_col] if group_col else []) + [F.lit(c).alias("metric")]
         parts.append(

@@ -54,6 +54,7 @@ def stream_histogram(
     window_len: str = "5 minutes",
     max_files_per_trigger: int = 4,
     group_cols: list[str] | None = None,
+    bin_width: float | None = None,
 ):
     """Start (availableNow) a file-source stream maintaining the windowed
     histogram of ``column``: rows (window_start, window_end, [group...,]
@@ -66,7 +67,15 @@ def stream_histogram(
     key, producing the grouped histogram :func:`read_stream_drift` scores
     per (window, group) — the continuous twin of the batch per-group drift
     checks. State stays bounded: (watermark / window_len) × |groups| ×
-    |buckets| rows. NULL group values are stored as :data:`NULL_GROUP`."""
+    |buckets| rows. NULL group values are stored as :data:`NULL_GROUP`.
+
+    ``bin_width`` bins a CONTINUOUS column equi-width (same contract as the
+    batch checks — operators/aggregates.bucket_col): without it, a
+    high-cardinality numeric column makes the streaming state per window as
+    large as the window's distinct-value count; score against a baseline
+    written with the same width."""
+    from doc_quality_check_spark.operators.aggregates import bucket_col
+
     group_cols = list(group_cols or [])
     stream = (
         spark.readStream.schema(schema_ddl)
@@ -82,7 +91,7 @@ def stream_histogram(
         .groupBy(
             F.window(F.col(ts_col), window_len).alias("window"),
             *gkeys,
-            F.col(column).cast("string").alias("bucket"),
+            bucket_col(column, bin_width).alias("bucket"),
         )
         .agg(F.count(F.lit(1)).alias("count"))
         .select(

@@ -775,10 +775,19 @@ class SuiteRunner:
                     "drift_w1": (drift_w1_by_group, "w1", "max_w1", 1.0),
                     "drift_chi2": (drift_chi2_by_group, "cramers_v", "max_v", 0.1),
                 }
+                from doc_quality_check_spark.operators.aggregates import (
+                    bucket_col,
+                )
+
                 cur_g = (
                     df.select(
                         part_key_col(self.suite.partition_by).alias("grp"),
-                        F.col(check.column).cast("string").alias("bucket"),
+                        # params["bin_width"]: equi-width bins for continuous
+                        # columns — keeps the histogram tiny at scale; the
+                        # baseline must be written with the same width
+                        bucket_col(
+                            check.column, p.get("bin_width")
+                        ).alias("bucket"),
                     )
                     .groupBy("grp", "bucket")
                     .agg(F.count("*").alias("count"))
@@ -812,7 +821,7 @@ class SuiteRunner:
                     for r in scored.collect()
                 ]
                 return rows, None
-            cur = histogram(df, check.column)
+            cur = histogram(df, check.column, bin_width=p.get("bin_width"))
             base = baseline.filter(F.col("metric") == check.column).select("bucket", "count")
             if check.kind == "drift_psi":
                 metric = float(drift_psi(cur, base).first()["psi"])

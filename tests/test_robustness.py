@@ -680,3 +680,38 @@ def test_corr_range_large_magnitude_stability(spark):
         name="nocol2", checks=[Check("c", "corr_range", "ts", {})])
     with pytest.raises(ValueError, match="col2"):
         SuiteRunner(bad).run(df, payload=False)
+
+
+def test_binned_drift_continuous_column(spark, clips_dir):
+    """bin_width keeps a continuous column's drift histogram tiny (the
+    10^12-row premise) and still detects a real shift: same data scores
+    ~0 PSI, a +800ms shift fails, and the binned histogram has orders of
+    magnitude fewer buckets than the raw distinct count."""
+    from doc_quality_check_spark.operators.aggregates import (
+        histogram,
+        snapshot_histograms,
+    )
+
+    clips = load_clips(spark, clips_dir).drop("bytes").limit(800)
+    raw_distinct = clips.select("dur_ms").distinct().count()
+    binned = histogram(clips, "dur_ms", bin_width=200)
+    assert binned.count() * 10 < raw_distinct  # binning actually collapses
+
+    baseline = snapshot_histograms(
+        clips, ["dur_ms"], bin_width={"dur_ms": 200})
+    suite = CheckSuite(
+        name="binned_drift",
+        checks=[Check("dur_drift", "drift_psi", "dur_ms",
+                      {"max_psi": 0.1, "bin_width": 200})],
+    )
+    same = SuiteRunner(suite).run(clips, payload=False, baseline=baseline)
+    v = {r["constraint_id"]: r for r in same.verdicts.collect()}
+    assert v["dur_drift"]["passed"] and v["dur_drift"]["metric_value"] < 1e-9
+    same.unpersist()
+
+    shifted = clips.withColumn("dur_ms", F.col("dur_ms") + F.lit(800))
+    moved = SuiteRunner(suite).run(shifted, payload=False, baseline=baseline)
+    v2 = {r["constraint_id"]: r for r in moved.verdicts.collect()}
+    assert v2["dur_drift"]["passed"] is False
+    assert v2["dur_drift"]["metric_value"] > 0.1
+    moved.unpersist()
