@@ -175,3 +175,28 @@ def test_jpeg_fill_bytes_tolerated():
     assert k > 0
     padded_rst = rst[:k] + b"\xff" + rst[k:]
     assert np.array_equal(decode_jpeg(padded_rst)[2], decode_jpeg(rst)[2])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    chroma420=st.booleans(),
+)
+def test_jpeg_roundtrip_property(h, w, seed, chroma420):
+    """Property: ANY uint8 image roundtrips at q=95 with bounded per-pixel
+    error — the worst case (white noise) stays within the quantization
+    bound, and dimensions are always preserved exactly."""
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+    buf = encode_jpeg_gray(img, quality=95, chroma420=chroma420)
+    ww, hh, luma = decode_jpeg(buf)
+    assert (ww, hh) == (w, h)
+    err = np.abs(luma.reshape(h, w).astype(int) - img.astype(int)).max()
+    # q=95 luma quant steps are <= 6; DCT-domain rounding of step s bounds
+    # the spatial error well under 8*s — 24 is a loose, stable ceiling
+    assert err <= 24, (h, w, seed, chroma420, err)
