@@ -419,26 +419,71 @@ class ValidationJob:
 
 def main(argv: list[str]) -> None:
     """spark-submit entry: validate a clips table (Iceberg identifier or
-    parquet path). Optional third argument: path to a CheckSuite JSON (see
-    examples/) — defaults to the built-in default_suite."""
+    parquet path).
+
+    Usage::
+
+        spark-submit --py-files dist/dqcs.zip \\
+            doc_quality_check_spark/suite/job.py CLIPS OUT_DIR [SUITE.json]
+            [--baseline PATH] [--catalog PATH] [--no-payload] [--no-resume]
+
+    ``--baseline``: histogram snapshot table (snapshot_histograms layout)
+    enabling the suite's drift checks; ``--catalog``: reference transcript
+    catalog enabling referential checks — without them those checks are
+    pruned (the library contract), so this is what makes the FULL suite
+    reachable from the command line. ``--no-payload``: metadata-only run.
+    SUITE.json defaults to the built-in default_suite."""
     from doc_quality_check_spark.sources.iceberg import (
         load_clips_table,
         snapshot_lineage,
     )
     from doc_quality_check_spark.suite.spec import CheckSuite
 
-    clips_src, out_dir = argv[0], argv[1]
-    if len(argv) > 2:
-        with open(argv[2]) as fh:
+    flags = {"--baseline": None, "--catalog": None}
+    payload, resume = True, True
+    pos: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in flags:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{a} requires a path argument")
+            flags[a] = argv[i + 1]
+            i += 2
+        elif a == "--no-payload":
+            payload = False
+            i += 1
+        elif a == "--no-resume":
+            resume = False
+            i += 1
+        else:
+            pos.append(a)
+            i += 1
+    if len(pos) < 2:
+        raise SystemExit("usage: job.py CLIPS OUT_DIR [SUITE.json] [options]")
+    clips_src, out_dir = pos[0], pos[1]
+    if len(pos) > 2:
+        with open(pos[2]) as fh:
             suite = CheckSuite.from_json(fh.read())
     else:
         suite = default_suite()
     spark = SparkSession.builder.appName("dqcs-validate").getOrCreate()
     clips = load_clips_table(spark, clips_src)
+    baseline = (
+        load_clips_table(spark, flags["--baseline"])
+        if flags["--baseline"] else None
+    )
+    catalog = (
+        load_clips_table(spark, flags["--catalog"])
+        if flags["--catalog"] else None
+    )
     job = ValidationJob(suite, out_dir)
     jr = job.run(
         clips,
-        payload=True,
+        catalog=catalog,
+        baseline=baseline,
+        payload=payload,
+        resume=resume,
         input_files=[clips_src],
         lineage=snapshot_lineage(spark, clips_src),
     )

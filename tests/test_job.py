@@ -564,3 +564,57 @@ def test_job_incremental_constraint_version_revalidation(
     # revalidates, everything carries forward
     jr3 = job2.run_incremental(snap, snap, id_col="clip_id", payload=False)
     assert "constraints_revalidated" not in jr3.manifest.input_lineage
+
+
+def test_job_cli_main_with_baseline_and_catalog(spark, clips_dir, tmp_path):
+    """The spark-submit CLI reaches the FULL suite: --baseline enables the
+    drift checks and --catalog the referential check (both were previously
+    library-only), --no-payload runs metadata-only, and the reports land."""
+    import json as _json
+
+    from doc_quality_check_spark.suite import job as jobmod
+
+    suite_json = {
+        "name": "cli_full",
+        "partition_by": ["part_key"],
+        "checks": [
+            {"constraint_id": "id_nn", "kind": "not_null",
+             "column": "clip_id", "priority": 1},
+            {"constraint_id": "sr_drift", "kind": "drift_psi",
+             "column": "sr_hz", "params": {"max_psi": 0.25}},
+            {"constraint_id": "transcript_ref", "kind": "referential",
+             "column": "clip_id", "params": {}},
+        ],
+    }
+    spath = tmp_path / "suite.json"
+    spath.write_text(_json.dumps(suite_json))
+    out = str(tmp_path / "cli_out")
+
+    jobmod.main([
+        os.path.join(clips_dir, "clips.parquet"), out, str(spath),
+        "--baseline", os.path.join(clips_dir, "baseline_snapshot.parquet"),
+        "--catalog", os.path.join(clips_dir, "transcript_catalog.parquet"),
+        "--no-payload", "--no-resume",
+    ])
+    verd = spark.read.parquet(os.path.join(out, "run_000001", "verdicts"))
+    cids = {r["constraint_id"] for r in verd.collect()}
+    # the side-table-dependent checks actually RAN (not pruned)
+    assert {"id_nn", "sr_drift", "transcript_ref"} <= cids
+    assert os.path.isdir(os.path.join(out, "reports"))
+
+    # without the flags the same suite prunes drift + referential (the
+    # library contract) instead of crashing
+    out2 = str(tmp_path / "cli_out2")
+    jobmod.main([
+        os.path.join(clips_dir, "clips.parquet"), out2, str(spath),
+        "--no-payload",
+    ])
+    verd2 = spark.read.parquet(os.path.join(out2, "run_000001", "verdicts"))
+    cids2 = {r["constraint_id"] for r in verd2.collect()}
+    assert "sr_drift" not in cids2 and "transcript_ref" not in cids2
+
+    # flag errors are clean SystemExits, not tracebacks mid-Spark
+    with pytest.raises(SystemExit):
+        jobmod.main(["clips_only"])
+    with pytest.raises(SystemExit):
+        jobmod.main(["a", "b", "--baseline"])
