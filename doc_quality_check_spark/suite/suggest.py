@@ -168,3 +168,79 @@ def suggest_suite(
     return CheckSuite(
         name=name, checks=checks, partition_by=partition_by or []
     )
+
+
+def suggest_drift_spec(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    target_bins: int = 32,
+    max_categorical_distinct: int = 64,
+) -> dict[str, float | None]:
+    """Recommend drift-histogram bucketing per column: ``{column:
+    bin_width-or-None}``, ready to hand to ``snapshot_histograms(df, cols,
+    bin_width=...)`` and to each drift check's ``bin_width`` param — both
+    sides then bucket identically, which is the one invariant binned drift
+    depends on.
+
+    One fused profiling pass (same discipline as :func:`suggest_suite`).
+    Per column:
+
+    - numeric with more than ``max_categorical_distinct`` distinct values →
+      an equi-width ``bin_width`` spanning the robust p0.5–p99.5 range in
+      ``target_bins`` bins, rounded UP to 1-2-5×10^k so the widths are
+      human-stable (a re-profile on slightly different data yields the
+      SAME width — raw span/target_bins would churn every snapshot);
+    - numeric low-cardinality or string → None (raw categorical buckets);
+    - binary columns are skipped entirely (never profiled).
+
+    The point at scale: unbinned continuous columns make the drift
+    histogram as large as the distinct-value count (operators/aggregates
+    ``bucket_col``); this derives the width users would otherwise guess."""
+    import math
+
+    fields = [
+        f for f in df.schema.fields if not isinstance(f.dataType, BinaryType)
+    ]
+    if columns is not None:
+        want = set(columns)
+        fields = [f for f in fields if f.name in want]
+    aggs = []
+    numeric = []
+    for f in fields:
+        aggs.append(F.approx_count_distinct(f.name).alias(f"nd__{f.name}"))
+        if isinstance(f.dataType, NumericType):
+            numeric.append(f.name)
+            aggs.append(
+                F.expr(
+                    f"percentile_approx({f.name}, array(0.005, 0.995))"
+                ).alias(f"pq__{f.name}")
+            )
+    if not fields:
+        return {}
+    prof = df.agg(*aggs).first()
+
+    def round_125(x: float) -> float:
+        # smallest 1/2/5 x 10^k width >= x: stable across re-profiles
+        if x <= 0:
+            return 1.0
+        k = math.floor(math.log10(x))
+        for m in (1.0, 2.0, 5.0, 10.0):
+            w = m * 10.0**k
+            if w >= x - 1e-12 * max(1.0, abs(x)):
+                return w
+        return 10.0 ** (k + 1)
+
+    spec: dict[str, float | None] = {}
+    for f in fields:
+        c = f.name
+        nd = prof[f"nd__{c}"] or 0
+        if c in numeric and nd > max_categorical_distinct:
+            pq = prof[f"pq__{c}"]
+            span = (
+                float(pq[-1]) - float(pq[0])
+                if pq and pq[0] is not None else 0.0
+            )
+            spec[c] = round_125(span / target_bins) if span > 0 else None
+        else:
+            spec[c] = None
+    return spec

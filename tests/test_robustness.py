@@ -715,3 +715,38 @@ def test_binned_drift_continuous_column(spark, clips_dir):
     assert v2["dur_drift"]["passed"] is False
     assert v2["dur_drift"]["metric_value"] > 0.1
     moved.unpersist()
+
+
+def test_suggest_drift_spec_roundtrip(spark, clips_dir):
+    """suggest_drift_spec: continuous columns get a stable 1-2-5 width,
+    categoricals get None, binary is skipped — and the spec plugs straight
+    into snapshot_histograms + a binned drift check that passes on the
+    profiled data."""
+    from doc_quality_check_spark.operators.aggregates import (
+        snapshot_histograms,
+    )
+    from doc_quality_check_spark.suite.suggest import suggest_drift_spec
+
+    clips = load_clips(spark, clips_dir).limit(800)
+    spec = suggest_drift_spec(clips.drop("bytes"))
+    assert "bytes" not in spec
+    assert spec["codec"] is None              # low-cardinality categorical
+    w = spec["dur_ms"]                        # continuous
+    assert w is not None and w > 0
+    import math
+    mant = w / (10 ** math.floor(math.log10(w)))
+    assert round(mant, 6) in (1.0, 2.0, 5.0)  # human-stable width
+    # same profile -> same width (stability against re-profiling)
+    assert suggest_drift_spec(clips.drop("bytes"))["dur_ms"] == w
+
+    meta = clips.drop("bytes")
+    baseline = snapshot_histograms(meta, ["dur_ms"], bin_width={"dur_ms": w})
+    suite = CheckSuite(
+        name="suggested_drift",
+        checks=[Check("dur_drift", "drift_psi", "dur_ms",
+                      {"max_psi": 0.05, "bin_width": w})],
+    )
+    res = SuiteRunner(suite).run(meta, payload=False, baseline=baseline)
+    v = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert v["dur_drift"]["passed"]  # self-drift ~ 0 under the same width
+    res.unpersist()
