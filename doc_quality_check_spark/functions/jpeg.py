@@ -419,6 +419,15 @@ def _decode_scan(buf, pos, frame, scan, qt, restart_interval):
         grid = (mcuy, mcux)
         y_hi, y_vi = comps[luma_idx][1], comps[luma_idx][2]
 
+    if not luma_blocks:
+        # legal multi-scan baseline file whose first SOS covers only a
+        # chroma component; we decode the first scan only, so the luma
+        # plane never materializes — fail loudly, not with np.stack's
+        # opaque "need at least one array"
+        raise NotImplementedError(
+            "multi-scan baseline JPEG with a non-luma first scan not "
+            "supported (only the first SOS is decoded)"
+        )
     # dequantize + IDCT the luma blocks in ONE vectorized batch
     tq_id = comps[luma_idx][3]
     q = qt[tq_id][np.newaxis, :]  # zigzag order, same as coefficients

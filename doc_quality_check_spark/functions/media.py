@@ -401,7 +401,10 @@ def decode_y4m(buf: bytes):
             chroma = val
     if not w or not h:
         raise ValueError("Y4M missing W/H")
-    if chroma.startswith("420"):
+    # 8-bit 4:2:0 tags only: C420p10/C420p12 (10/12-bit) have 2-byte samples
+    # and a different plane size — mis-parsing them would silently desync
+    # frames, so they route to the explicit NotImplementedError below
+    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
         csize = (h // 2) * (w // 2) * 2
     elif chroma == "422":
         csize = h * (w // 2) * 2

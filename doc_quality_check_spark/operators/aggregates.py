@@ -844,7 +844,8 @@ def pearson_corr(
             c.isNotNull() & ~F.isnan(c), F.round(c, ndigits)
         ).alias("corr")
         return both.groupBy(*gcols).agg(corr)
-    integral = ("byte", "short", "int", "bigint", "long")
+    # Spark df.dtypes reports simpleString names: tinyint/smallint/int/bigint
+    integral = ("tinyint", "smallint", "int", "bigint")
     for col in (x_col, y_col):
         dt = dict(df.dtypes).get(col, "")
         if dt not in integral:

@@ -45,6 +45,10 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
 from doc_quality_check_spark.functions.audio import _hann, decode_payload
+from doc_quality_check_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    banded_pairs,
+)
 
 # 9 time frames x 9 log-spaced bands -> (9-1) x (9-1) = 64 difference bits
 AFP_FRAMES = 9
@@ -126,6 +130,7 @@ def audio_neardup_pairs(
     frames: int = AFP_FRAMES,
     bands: int = AFP_BANDS,
     materialize: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate clip pairs (id_a, id_b, hamming) with fingerprint
     Hamming distance <= max_hamming.
@@ -169,16 +174,17 @@ def audio_neardup_pairs(
     ).select(
         F.col(id_col), "afp", F.col("e.blk").alias("blk"), F.col("e.val").alias("val")
     )
-    a = long.select(F.col(id_col).alias("id_a"), F.col("afp").alias("fp_a"), "blk", "val")
-    b = long.select(F.col(id_col).alias("id_b"), F.col("afp").alias("fp_b"), "blk", "val")
-    return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= F.lit(max_hamming))
+    # shared pairing stage with the text LSH finders: exhaustive candidate
+    # enumeration below max_bucket_size, star-reduced (bucket-min, member)
+    # edges above it — a corpus of near-identical clips puts every
+    # fingerprint in one (blk, val) bucket, and without the guard that
+    # bucket's self-join output is quadratic (dedup.banded_pairs)
+    cand = banded_pairs(
+        long, id_col, ["blk", "val"], payload_cols=["afp"],
+        max_bucket_size=max_bucket_size,
     )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("afp_a").bitwiseXOR(F.col("afp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= F.lit(max_hamming))

@@ -180,6 +180,91 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+# LSH band/block buckets have the same degenerate-skew failure mode as hot
+# shingles: a boilerplate-heavy corpus puts ~every near-dup doc into ONE
+# band bucket and the bucket self-join emits O(m^2) candidate pairs. The cap
+# bounds any bucket's pair OUTPUT to (m-1) star edges instead of m(m-1)/2 —
+# it never engages at fixture scale (measured max band-bucket size: 2 at
+# sf0.01, 4 at sf0.1), so oracle parity holds, exactly the
+# DEFAULT_MAX_SHINGLE_DF design.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def banded_pairs(
+    long: DataFrame,
+    id_col: str,
+    bucket_cols: list[str],
+    payload_cols: list[str] = (),
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Candidate pairs from a bucket self-join with a hot-bucket guard —
+    the single pairing stage shared by :func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs` and :func:`audio_dedup.audio_neardup_pairs`.
+
+    ``long`` holds one row per (id, bucket) assignment with columns
+    ``[id_col, *payload_cols, *bucket_cols]``. Buckets with at most
+    ``max_bucket_size`` members self-join exhaustively (exact candidate
+    enumeration). Larger buckets are **star-reduced**: each member pairs
+    only with the bucket's minimum id — linear output instead of quadratic,
+    and the pair graph keeps the same connected components, so
+    keep-first / connected-components consumers see identical clusters
+    after the caller's verification filter. ``max_bucket_size=None``
+    disables the guard (exhaustive everywhere).
+
+    Output: (id_a, id_b, <payload>_a, <payload>_b) with id_a < id_b,
+    deduplicated across buckets. One shuffle on the bucket key (a window)
+    feeding the equi-join that needed that partitioning anyway.
+    """
+    from pyspark.sql import Window
+
+    def _ab(side: str):
+        return [F.col(id_col).alias(f"id_{side}")] + [
+            F.col(c).alias(f"{c}_{side}") for c in payload_cols
+        ]
+
+    out_cols = ["id_a", "id_b"] + [
+        f"{c}_{s}" for c in payload_cols for s in ("a", "b")
+    ]
+    if max_bucket_size is None:
+        a = long.select(*_ab("a"), *bucket_cols)
+        b = long.select(*_ab("b"), *bucket_cols)
+        return (
+            a.join(b, list(bucket_cols))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(*out_cols)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    w = Window.partitionBy(*bucket_cols)
+    # struct min with the id leading = the bucket representative row
+    rep = F.struct(F.col(id_col).alias("id"), *[F.col(c) for c in payload_cols])
+    sized = long.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "_rep", F.min(rep).over(w)
+    )
+    normal = sized.filter(F.col("_bn") <= max_bucket_size)
+    a = normal.select(*_ab("a"), *bucket_cols)
+    b = normal.select(*_ab("b"), *bucket_cols)
+    exhaustive = (
+        a.join(b, list(bucket_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(*out_cols)
+    )
+    # hot buckets: (bucket-min, member) star edges only. _rep.id is the
+    # bucket minimum, so id ordering needs no least/greatest.
+    star = (
+        sized.filter(
+            (F.col("_bn") > max_bucket_size) & (F.col(id_col) != F.col("_rep.id"))
+        )
+        .select(
+            F.col("_rep.id").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_rep.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        .select(*out_cols)
+    )
+    return exhaustive.unionByName(star).dropDuplicates(["id_a", "id_b"])
+
+
 def _verify_jaccard(
     cand: DataFrame | None,
     sh: DataFrame,
@@ -393,11 +478,18 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     materialize: bool = False,
     broadcast_sizes: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash: band-bucket equi-join proposes
     candidates; exact shingle Jaccard verifies >= threshold. Output
     (id_a, id_b, jaccard). A pair at similarity s is caught with probability
     1-(1-s^r)^b (r=4, b=4: s=0.97 → ~0.9998).
+
+    ``max_bucket_size`` guards degenerate buckets (see :func:`banded_pairs`):
+    buckets above the cap emit star edges (bucket-min, member) instead of
+    all pairs — exhaustive pair enumeration below the cap, linear output and
+    identical connected components above it. The default never engages at
+    fixture scale, keeping oracle parity exact.
 
     ``materialize`` (default OFF, unlike :func:`jaccard_pairs`): eager
     localCheckpoints of the band table + verification shingles were A/B
@@ -424,13 +516,9 @@ def minhash_lsh_pairs(
     )
     if materialize:
         long = long.localCheckpoint(eager=True)
-    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
-    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
-    cand = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = banded_pairs(
+        long, id_col, ["band_idx", "band_key"],
+        max_bucket_size=max_bucket_size,
     )
     # exact-Jaccard verification restricted to the candidate pairs — the
     # shared-shingle count is computed per candidate, not all-pairs
@@ -466,6 +554,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_hamming: int = 3,
     materialize: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming →
     (id_a, id_b, hamming). Candidates come from an equi-join on 8-bit blocks:
@@ -476,7 +565,12 @@ def simhash_pairs(
     the two self-join sides A/B measured a wash at sf0.1 (2.6-3.2s both
     ways, 3 interleaved reps) — the signature agg is one cheap pass and the
     blocking checkpoint gives back what the reuse saves. Knob kept for
-    wider signature tables."""
+    wider signature tables.
+
+    ``max_bucket_size``: hot-block guard (see :func:`banded_pairs`) —
+    near-identical corpora put every doc in the same (blk, val) bucket;
+    above the cap the bucket star-reduces to (bucket-min, member) edges
+    before the Hamming filter, preserving clusters with linear output."""
     assert max_hamming < SIMHASH_BLOCKS, "pigeonhole requires max_hamming < n_blocks"
     sig = simhash(df, id_col, text_col, n)
     if materialize:
@@ -494,19 +588,17 @@ def simhash_pairs(
             ])
         ).alias("e"),
     ).select(F.col(id_col), "simhash", F.col("e.blk").alias("blk"), F.col("e.val").alias("val"))
-    a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
-    b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
-    return (
-        a.join(b, ["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= F.lit(max_hamming))
+    cand = banded_pairs(
+        blocks, id_col, ["blk", "val"], payload_cols=["simhash"],
+        max_bucket_size=max_bucket_size,
     )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= F.lit(max_hamming))
 
 
 # ---------------------------------------------------------------------------

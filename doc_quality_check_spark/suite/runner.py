@@ -103,9 +103,16 @@ class RunResult:
     # constraint_id -> wall seconds for each table-level check (F20: the
     # reference returns elapsed time with every metric, clarity_check.py:21)
     table_metrics: dict[str, float] = field(default_factory=dict)
+    # DataFrames persisted by table checks (e.g. payload_neardup's redundant
+    # set) that back lazy `violations` rows — released with the result, not
+    # before, so the violations union stays cache-served until the caller is
+    # done materializing it
+    extra_caches: list = field(default_factory=list)
 
     def unpersist(self) -> None:
         self.checked.unpersist()
+        for df in self.extra_caches:
+            df.unpersist()
 
 
 def _image_payload_col(image_checks) -> str:
@@ -154,6 +161,7 @@ class SuiteRunner:
         suite = self.suite
         part_cols = suite.partition_by
         full_clips = clips
+        self._run_caches: list[DataFrame] = []
         resuming = bool(completed_partitions and part_cols)
         if resuming:
             pk = part_key_col(part_cols)
@@ -376,9 +384,28 @@ class SuiteRunner:
                     needed.add(c.params["col2"])
             missing = needed - set(table_df.columns)
             if missing:
-                if payload and missing & DERIVED_METRIC_COLUMNS:
+                if payload and (
+                    missing & DERIVED_METRIC_COLUMNS
+                    or missing & set(IMAGE_METRIC_COLUMNS)
+                ):
                     src = full_clips if resuming else clips
-                    resume_cache = with_audio_metrics(src).persist()
+                    if missing & DERIVED_METRIC_COLUMNS:
+                        src = with_audio_metrics(src)
+                    if missing & set(IMAGE_METRIC_COLUMNS):
+                        # resume path: table_df = full_clips.drop('bytes')
+                        # loses img_* columns too — re-run the image decode
+                        # over the same payload column the row pass used
+                        from doc_quality_check_spark.functions.media import (
+                            with_image_metrics,
+                        )
+
+                        src = with_image_metrics(
+                            src,
+                            payload_col=_image_payload_col(image_checks)
+                            if image_checks
+                            else "bytes",
+                        )
+                    resume_cache = src.persist()
                     resume_cache.count()
                     table_df = resume_cache
                 else:
@@ -460,7 +487,8 @@ class SuiteRunner:
             F.approx_count_distinct(id_col).alias("n_distinct_ids"),
         )
         return RunResult(checked=df, violations=viols, verdicts=verdicts,
-                         summary=summary, table_metrics=check_timings)
+                         summary=summary, table_metrics=check_timings,
+                         extra_caches=self._run_caches)
 
     # ------------------------------------------------------------------
     def _partition_verdicts(self, df, row_checks: list[Check], part_cols: list[str]):
@@ -713,6 +741,9 @@ class SuiteRunner:
                 .select(F.col("id").alias("clip_id"))
                 .persist()
             )
+            # released by RunResult.unpersist(), not here: the violations
+            # union below is lazy and must stay cache-served
+            self._run_caches.append(redundant)
             n_viol = redundant.count()
             n_rows = df.count()  # cached checked df — cheap recount
             extra = redundant.select(

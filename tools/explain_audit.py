@@ -25,20 +25,20 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def main() -> None:
+def run_audits(spark) -> list[tuple[str, bool, str]]:
+    """All plan audits against one live session. Returns
+    (name, ok, detail) per audit — consumed by main() for the CLI and by
+    tests/test_plan_audit.py so `pytest tests/` fails on any plan
+    regression (a broadcast turning sort-merge, a scan reading bytes, a
+    dedup join going cartesian)."""
     from pyspark.sql import functions as F
 
     from doc_quality_check_spark.queries import QUERIES
-    from doc_quality_check_spark.session import get_spark
 
-    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
-    failures = []
+    results: list[tuple[str, bool, str]] = []
 
     def audit(name: str, ok: bool, detail: str = "") -> None:
-        print(f"  {'PASS' if ok else 'FAIL'}  {name}  {detail}")
-        if not ok:
-            failures.append(name)
+        results.append((name, bool(ok), str(detail)))
 
     # 1. column pruning: group_stats must scan only the 4 lineitem columns
     p = plan_of(QUERIES["group_stats"](spark, SF))
@@ -206,6 +206,18 @@ def main() -> None:
     audit("audio_neardup block equi-join",
           "SortMergeJoin" in p or "BroadcastHashJoin" in p)
 
+    return results
+
+
+def main() -> None:
+    from doc_quality_check_spark.session import get_spark
+
+    spark = get_spark("explain-audit", cores=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    results = run_audits(spark)
+    failures = [n for n, ok, _ in results if not ok]
+    for name, ok, detail in results:
+        print(f"  {'PASS' if ok else 'FAIL'}  {name}  {detail}")
     print("FAILURES:" if failures else "all plan audits pass", failures or "")
     spark.stop()
     sys.exit(1 if failures else 0)
