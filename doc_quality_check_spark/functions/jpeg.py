@@ -6,16 +6,21 @@ format a real training-data table actually carries:
 
 - :func:`decode_jpeg`: baseline sequential DCT (SOF0/SOF1), grayscale and
   YCbCr with any sampling factors (4:4:4 / 4:2:2 / 4:2:0), interleaved and
-  single-component scans, restart markers. Returns the LUMA plane — the
-  engine's image metrics (ink ratio, mean luma) are luma-only, so chroma
-  blocks are entropy-decoded (the bitstream demands it) but skip IDCT.
-  Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+  single-component scans, restart markers — AND progressive (SOF2) with
+  spectral selection + successive approximation (T.81 Annex G, round 5).
+  Returns the LUMA plane — the engine's image metrics (ink ratio, mean
+  luma) are luma-only, so chroma blocks are entropy-decoded (the bitstream
+  demands it) but skip IDCT. Arithmetic coding and 12-bit precision raise
   NotImplementedError → in-band error rows downstream.
 - :func:`encode_jpeg_gray`: a real baseline encoder (forward DCT +
   ITU T.81 Annex K tables) used as the deterministic fixture generator,
   the role ``encode_wav_pcm16`` plays for audio. ``chroma420=True`` wraps
   the same luma plane in an interleaved 4:2:0 three-component frame with
   flat chroma, exercising the decoder's interleaved/subsampled path.
+- :func:`encode_jpeg_gray_progressive`: the progressive fixture twin — a
+  6-scan script (DC/AC first + refinement passes) that reconstructs the
+  exact quantized coefficients, so its decode is bit-identical to the
+  baseline encoder's at the same quality (pinned in tests).
 
 Decode-encode roundtrip invariant (tests/test_media_jpeg.py): decoded luma
 matches the source within quantization error (allclose/SNR bound), the
@@ -296,6 +301,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
     restart_interval = 0
+    progressive = False
+    prog: _ProgState | None = None  # coefficient accumulator across scans
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -324,7 +331,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     ).astype(np.int64)
                     i += 128
                 qt[tq_id] = tbl.astype(np.int64)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -337,8 +344,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             frame = (w, h, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -359,9 +365,26 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = []  # (comp_index, dc_table, ac_table)
             w, h, comps = frame
             byid = {c[0]: idx for idx, c in enumerate(comps)}
+            if progressive:
+                # T.81 Annex G: accumulate this scan's coefficient
+                # contributions and keep walking the marker stream — the
+                # image is only complete at EOI
+                scan_comps = []
+                for s in range(ns):
+                    cs, tds = seg[1 + 2 * s : 3 + 2 * s]
+                    scan_comps.append((byid[cs], tds >> 4, tds & 0x0F))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if prog is None:
+                    prog = _ProgState(frame)
+                pos = _decode_prog_scan(
+                    buf, segend, frame, prog, scan_comps, huff,
+                    ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                )
+                continue
+            scan = []  # (comp_index, dc_table, ac_table)
             for s in range(ns):
                 cs, tds = seg[1 + 2 * s : 3 + 2 * s]
                 scan.append((byid[cs], huff[(0, tds >> 4)],
@@ -370,6 +393,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 buf, segend, frame, scan, qt, restart_interval
             )
         pos = segend
+    if prog is not None:
+        return _finish_progressive(frame, prog, qt)
     raise ValueError("JPEG has no scan data")
 
 
@@ -453,6 +478,225 @@ def _decode_scan(buf, pos, frame, scan, qt, restart_interval):
     # subsampled — rare, but legal)
     hi, vi = comps[luma_idx][1], comps[luma_idx][2]
     cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+    plane = plane[:ch, :cw]
+    if (cw, ch) != (w, h):
+        plane = np.repeat(
+            np.repeat(plane, -(-h // ch), axis=0), -(-w // cw), axis=1
+        )[:h, :w]
+    return int(w), int(h), plane.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G: spectral selection + successive
+# approximation, Huffman entropy coding; arithmetic coding stays
+# NotImplementedError). Control flow mirrors libjpeg's jdphuff.c — the
+# publicly documented reference decoder for the refinement bit protocol.
+
+
+class _ProgState:
+    """Per-component coefficient accumulators across progressive scans.
+
+    Coefficients live in ZIGZAG index order (position k of a block array IS
+    zigzag index k — the same convention as :func:`_decode_block`), shaped
+    (block_rows, block_cols, 64) on the MCU-padded grid so interleaved DC
+    scans and non-interleaved AC scans index the same arrays."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coef = [
+            np.zeros((self.mcuy * vi, self.mcux * hi, 64), dtype=np.int64)
+            for _, hi, vi, _ in comps
+        ]
+        self.eobrun = 0  # current AC scan's end-of-band run counter
+
+    def comp_blocks(self, frame, ci) -> tuple[int, int]:
+        """(block_rows, block_cols) of one component's OWN grid — the
+        traversal bounds of a non-interleaved scan (no MCU padding)."""
+        w, h, comps = frame
+        _, hi, vi, _ = comps[ci]
+        cw = -(-w * hi // self.hmax)
+        ch = -(-h * vi // self.vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_prog_scan(
+    buf, pos, frame, state: _ProgState, scan_comps, huff,
+    ss: int, se: int, ah: int, al: int, restart_interval: int,
+) -> int:
+    """Decode one progressive scan's entropy data into ``state`` and return
+    the buffer position of the next marker."""
+    rd = _BitReader(buf, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        _prog_dc_scan(rd, frame, state, scan_comps, huff, ah, al,
+                      restart_interval)
+    else:
+        if len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        _prog_ac_scan(rd, frame, state, scan_comps[0], huff, ss, se, ah, al,
+                      restart_interval)
+    if rd.marker is not None and not (0xD0 <= rd.marker <= 0xD7):
+        return rd.pos - 2  # marker already pulled by the bit reader
+    p, n = rd.pos, len(buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
+            0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _prog_dc_scan(rd, frame, state, scan_comps, huff, ah, al, ri):
+    w, h, comps = frame
+    preds = {ci: 0 for ci, _, _ in scan_comps}
+    tabs = {
+        ci: (huff[(0, td)] if ah == 0 else None) for ci, td, _ in scan_comps
+    }
+
+    def one(ci, r, c):
+        blk = state.coef[ci][r, c]
+        if ah == 0:
+            t = rd.decode_huff(tabs[ci])
+            preds[ci] += _extend(rd.receive(t), t)
+            blk[0] = preds[ci] << al
+        else:  # refinement: append one magnitude bit (G.1.2.1)
+            blk[0] |= rd.read_bit() << al
+
+    if len(scan_comps) == 1:
+        ci = scan_comps[0][0]
+        by, bx = state.comp_blocks(frame, ci)
+        u = 0
+        for r in range(by):
+            for c in range(bx):
+                if ri and u and u % ri == 0:
+                    rd.restart()
+                    preds[ci] = 0
+                one(ci, r, c)
+                u += 1
+        return
+    for m in range(state.mcux * state.mcuy):
+        if ri and m and m % ri == 0:
+            rd.restart()
+            preds = dict.fromkeys(preds, 0)
+        my, mx = divmod(m, state.mcux)
+        for ci, _, _ in scan_comps:
+            _, hi, vi, _ = comps[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    one(ci, my * vi + v, mx * hi + hh)
+
+
+def _prog_ac_scan(rd, frame, state, scan_comp, huff, ss, se, ah, al, ri):
+    ci, _, ta = scan_comp
+    ac_tab = huff[(1, ta)]
+    by, bx = state.comp_blocks(frame, ci)
+    state.eobrun = 0
+    u = 0
+    for r in range(by):
+        for c in range(bx):
+            if ri and u and u % ri == 0:
+                rd.restart()
+                state.eobrun = 0  # EOB runs never cross a restart
+            blk = state.coef[ci][r, c]
+            if ah == 0:
+                _ac_first_block(rd, blk, ac_tab, ss, se, al, state)
+            else:
+                _ac_refine_block(rd, blk, ac_tab, ss, se, al, state)
+            u += 1
+
+
+def _ac_first_block(rd, blk, ac_tab, ss, se, al, state):
+    """First AC scan of a band: coefficient values at approximation Al."""
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = rd.decode_huff(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn: this block ends, 2^r-1+ext more blocks skip
+                state.eobrun = (1 << r) - 1
+                if r:
+                    state.eobrun += rd.receive(r)
+                return
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient index out of band")
+            blk[k] = _extend(rd.receive(s), s) << al
+            k += 1
+
+
+def _ac_refine_block(rd, blk, ac_tab, ss, se, al, state):
+    """AC successive-approximation refinement (G.1.2.3 / jdphuff.c):
+    newly-nonzero coefficients arrive as ±2^Al; every already-nonzero
+    coefficient traversed consumes one correction bit."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = rd.decode_huff(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    state.eobrun = 1 << r
+                    if r:
+                        state.eobrun += rd.receive(r)
+                    break  # remaining correction bits via the EOB path below
+                # r == 15 (ZRL): advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid refinement magnitude in progressive scan"
+                    )
+                newval = p1 if rd.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if rd.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state.eobrun -= 1
+
+
+def _finish_progressive(frame, state: _ProgState, qt) -> tuple[int, int, np.ndarray]:
+    """Dequantize + IDCT the accumulated LUMA coefficients (metrics are
+    luma-only, matching the sequential path) and assemble the plane."""
+    w, h, comps = frame
+    luma_idx = 0
+    tq_id = comps[luma_idx][3]
+    coefs = state.coef[luma_idx]
+    rows, cols = coefs.shape[:2]
+    pix = _idct_blocks(coefs.reshape(-1, 64) * qt[tq_id][np.newaxis, :])
+    plane = (
+        pix.reshape(rows, cols, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(rows * 8, cols * 8)
+    )
+    hi, vi = comps[luma_idx][1], comps[luma_idx][2]
+    cw = -(-w * hi // state.hmax)
+    ch = -(-h * vi // state.vmax)
     plane = plane[:ch, :cw]
     if (cw, ch) != (w, h):
         plane = np.repeat(
@@ -659,5 +903,179 @@ def encode_jpeg_gray(
                 preds[2] = _encode_one_block(wr, zero, preds[2], dc_c, ac_c)
     wr.flush()
     out += wr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture twin of the Annex-G decoder above)
+
+
+def _enc_prog_dc(wr, coefs, dc_tab, ah, al, ri):
+    pred, u = 0, 0
+    for by in range(coefs.shape[0]):
+        for bx in range(coefs.shape[1]):
+            if ri and u and u % ri == 0:
+                wr.restart(u // ri - 1)
+                pred = 0
+            dc = int(coefs[by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+            if ah == 0:
+                diff = dc - pred
+                pred = dc
+                t = 0 if diff == 0 else abs(diff).bit_length()
+                code, length = dc_tab[t]
+                wr.write(code, length)
+                if t:
+                    wr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            else:  # refinement: one magnitude bit per block
+                wr.write(dc & 1, 1)
+            u += 1
+
+
+def _enc_prog_ac_first(wr, coefs, ac_tab, ss, se, al, ri):
+    u = 0
+    for by in range(coefs.shape[0]):
+        for bx in range(coefs.shape[1]):
+            if ri and u and u % ri == 0:
+                wr.restart(u // ri - 1)
+            blk = coefs[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                t = (v if v >= 0 else -v) >> al  # magnitude point transform
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, length = ac_tab[0xF0]
+                    wr.write(code, length)
+                    r -= 16
+                s = t.bit_length()
+                code, length = ac_tab[(r << 4) | s]
+                wr.write(code, length)
+                sv = t if v >= 0 else -t
+                wr.write(sv if sv > 0 else sv + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                code, length = ac_tab[0x00]  # per-block EOB (run of 1)
+                wr.write(code, length)
+            u += 1
+
+
+def _enc_prog_ac_refine(wr, coefs, ac_tab, ss, se, al, ri):
+    """Per-block port of jcphuff.c encode_mcu_AC_refine: newly-nonzero
+    coefficients emit (run, 1) + sign; history-nonzero ones buffer one
+    correction bit, flushed after the next symbol (the order the decoder's
+    advance loop consumes them). EOB runs never span blocks here — each
+    block with pending zeros/bits ends with EOB(run=1) + its buffered
+    bits, which the decoder's EOBRUN branch reads back."""
+    u = 0
+    for by in range(coefs.shape[0]):
+        for bx in range(coefs.shape[1]):
+            if ri and u and u % ri == 0:
+                wr.restart(u // ri - 1)
+            blk = coefs[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = ss - 1  # position of the last NEWLY-nonzero coefficient
+            for k in range(ss, se + 1):
+                if absv[k - ss] == 1:
+                    eob = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    code, length = ac_tab[0xF0]
+                    wr.write(code, length)
+                    r -= 16
+                    for b in br:
+                        wr.write(b, 1)
+                    br = []
+                if t > 1:  # history-nonzero: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                code, length = ac_tab[(r << 4) | 1]
+                wr.write(code, length)
+                wr.write(1 if int(blk[k]) >= 0 else 0, 1)
+                for b in br:
+                    wr.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                code, length = ac_tab[0x00]
+                wr.write(code, length)
+                for b in br:
+                    wr.write(b, 1)
+            u += 1
+
+
+# the default luma scan script: exercises every Annex-G scan type the
+# decoder implements — DC first with point transform, DC refinement, AC
+# spectral-selection first scans, and two AC successive-approximation
+# refinement passes
+PROGRESSIVE_SCANS = (
+    (0, 0, 0, 1),   # DC first, Al=1
+    (1, 5, 0, 2),   # AC 1-5 first, Al=2
+    (6, 63, 0, 2),  # AC 6-63 first, Al=2
+    (1, 63, 2, 1),  # AC refine Ah=2 -> Al=1
+    (1, 63, 1, 0),  # AC refine Ah=1 -> Al=0
+    (0, 0, 1, 0),   # DC refine
+)
+
+
+def encode_jpeg_gray_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    scans: tuple = PROGRESSIVE_SCANS,
+) -> bytes:
+    """Encode an (h, w) uint8 luma plane as a PROGRESSIVE (SOF2) JPEG.
+
+    The scan script reconstructs the exact quantized coefficients (all
+    approximation bits restored), so decode parity with the baseline
+    encoder is bit-exact. ``restart_interval`` applies to every scan
+    (one DRI), exercising the progressive restart path."""
+    plane = np.asarray(pixels, dtype=np.uint8)
+    if plane.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive expects (h, w)")
+    h, w = plane.shape
+    qy = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
+    padded = _pad_edge(plane, 8)
+    nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+    coefs = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            f = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coefs[by, bx] = np.rint(
+                (_A @ f @ _A.T).reshape(-1)[ZIGZAG] / qy
+            ).astype(np.int64)
+
+    dc_tab = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_tab = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _dht_seg(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += _dht_seg(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    for ss, se, ah, al in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        wr = _BitWriter()
+        if ss == 0:
+            _enc_prog_dc(wr, coefs, dc_tab, ah, al, restart_interval)
+        elif ah == 0:
+            _enc_prog_ac_first(wr, coefs, ac_tab, ss, se, al, restart_interval)
+        else:
+            _enc_prog_ac_refine(wr, coefs, ac_tab, ss, se, al, restart_interval)
+        wr.flush()
+        out += wr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -61,7 +61,7 @@ class ValidationJob:
         self,
         clips: DataFrame,
         catalog: DataFrame | None = None,
-        baseline: DataFrame | None = None,
+        baseline: DataFrame | str | None = None,
         payload: bool = True,
         resume: bool = True,
         input_files: list[str] | None = None,
@@ -70,6 +70,18 @@ class ValidationJob:
         _merge_prev: tuple[RunManifest, list[str]] | None = None,
         _revalidate_cids: set[str] | None = None,
     ) -> JobResult:
+        # managed drift baselines: baseline="latest-green" resolves the most
+        # recent fully-green run's promoted snapshot from the manifest trail
+        # (see _promote_baseline below) — the reference's old-vs-new
+        # comparison workflow (docs/THRESHOLD_ANALYSIS_REPORT.md:53-105)
+        # implies a managed baseline rather than a hand-curated path
+        baseline_lineage: dict | None = None
+        if isinstance(baseline, str):
+            baseline, baseline_lineage = self.resolve_baseline(
+                clips.sparkSession, baseline
+            )
+        elif baseline is not None:
+            baseline_lineage = {"source": "explicit"}
         # checks whose reference inputs are absent are pruned (never crash a
         # run for a missing side-table; the verdict simply isn't produced)
         effective = [
@@ -118,6 +130,10 @@ class ValidationJob:
             m.input_lineage["resumed_from_partitions"] = sorted(completed)
         if resume_rejected:
             m.input_lineage["resume_rejected"] = resume_rejected
+        if baseline_lineage is not None:
+            # which baseline this run's drift checks scored against —
+            # auditable from the trail, whether explicit or auto-resolved
+            m.input_lineage["baseline"] = baseline_lineage
 
         # schema-evolution guard: record this run's input schema and diff it
         # against the last COMPLETE run's, so a snapshot that silently
@@ -275,6 +291,7 @@ class ValidationJob:
         }
         if runner.effective_payload_mode is not None:
             m.input_lineage["payload_mode"] = runner.effective_payload_mode
+        self._promote_baseline(res, verdict_rows, m, bool(completed))
         self.manifests.save(m)
 
         ts = time.strftime("%Y%m%d_%H%M%S", time.gmtime())
@@ -303,6 +320,96 @@ class ValidationJob:
 
         self.manifests.finish_run(m, "complete")
         return JobResult(manifest=m, result=res, report_paths=paths)
+
+    # ------------------------------------------------------------------
+    def resolve_baseline(self, spark, ref: str):
+        """Resolve a symbolic baseline reference against the manifest trail.
+
+        ``"latest-green"``: the newest COMPLETE run that promoted a baseline
+        snapshot (every verdict passed — see :meth:`_promote_baseline`).
+        Returns (DataFrame|None, lineage dict); no promoted baseline yet →
+        (None, ...) and the drift checks prune exactly as with no baseline,
+        so the first run of a fresh trail bootstraps itself."""
+        if ref != "latest-green":
+            raise ValueError(
+                f"unknown baseline reference {ref!r} (supported: latest-green)"
+            )
+        from doc_quality_check_spark.suite.history import load_manifests
+
+        for man in reversed(load_manifests(self.manifests)):
+            promo = man.get("input_lineage", {}).get("baseline_promoted")
+            if man.get("status") == "complete" and promo:
+                df = spark.read.parquet(promo["path"])
+                return df, {
+                    "source": "latest-green",
+                    "from_run": int(man["run_id"]),
+                    "path": promo["path"],
+                    "columns": promo.get("columns"),
+                }
+        return None, {"source": "latest-green", "resolved": False}
+
+    def _promote_baseline(
+        self, res: RunResult, verdict_rows: list[dict], m: RunManifest,
+        resumed: bool,
+    ) -> None:
+        """Promote this run's histogram snapshot to a drift baseline when
+        the run is FULLY green (every verdict passed) and covered the whole
+        input (not a resume/incremental merge — a partial run's snapshot
+        would describe a partial table). The snapshot covers exactly the
+        suite's drift-checked columns with their declared bin widths, in the
+        grouped (part_key) layout when any drift check is per-partition, and
+        lands next to the run's result tables; the manifest records its
+        lineage so ``baseline="latest-green"`` can resolve it."""
+        from doc_quality_check_spark.suite.runner import _param_bool
+
+        drift_checks = [
+            c for c in self.suite.checks
+            if c.kind.startswith("drift_") and c.column
+        ]
+        if not drift_checks or resumed:
+            return
+        if not verdict_rows or not all(bool(r["passed"]) for r in verdict_rows):
+            return
+        cols = sorted(
+            {c.column for c in drift_checks if c.column in res.checked.columns}
+        )
+        if not cols:
+            return
+        from doc_quality_check_spark.operators.aggregates import (
+            snapshot_histograms,
+        )
+
+        bin_width = {
+            c.column: float(c.params["bin_width"])
+            for c in drift_checks
+            if c.params.get("bin_width") is not None
+        }
+        per_part = bool(self.suite.partition_by) and any(
+            _param_bool(c.params.get("per_partition", False))
+            for c in drift_checks
+        )
+        src = res.checked
+        if per_part and "part_key" not in src.columns:
+            from doc_quality_check_spark.suite.runner import part_key_col
+
+            src = src.withColumn(
+                "part_key", part_key_col(self.suite.partition_by)
+            )
+        snap = snapshot_histograms(
+            src, cols,
+            group_col="part_key" if per_part else None,
+            bin_width=bin_width or None,
+        )
+        path = os.path.join(
+            self.out_dir, f"run_{m.run_id:06d}", "baseline_snapshot"
+        )
+        snap.write.mode("overwrite").parquet(path)
+        m.input_lineage["baseline_promoted"] = {
+            "path": path,
+            "columns": cols,
+            "bin_width": bin_width,
+            "grouped": per_part,
+        }
 
     # ------------------------------------------------------------------
     def run_incremental(
@@ -425,13 +532,19 @@ def main(argv: list[str]) -> None:
 
         spark-submit --py-files dist/dqcs.zip \\
             doc_quality_check_spark/suite/job.py CLIPS OUT_DIR [SUITE.json]
-            [--baseline PATH] [--catalog PATH] [--no-payload] [--no-resume]
+            [--baseline PATH|latest-green] [--catalog PATH]
+            [--no-payload] [--no-resume] [--suggest-drift]
 
     ``--baseline``: histogram snapshot table (snapshot_histograms layout)
-    enabling the suite's drift checks; ``--catalog``: reference transcript
-    catalog enabling referential checks — without them those checks are
-    pruned (the library contract), so this is what makes the FULL suite
-    reachable from the command line. ``--no-payload``: metadata-only run.
+    enabling the suite's drift checks, or the literal ``latest-green`` to
+    resolve the newest fully-green run's auto-promoted snapshot from this
+    OUT_DIR's manifest trail; ``--catalog``: reference transcript catalog
+    enabling referential checks — without them those checks are pruned
+    (the library contract), so this is what makes the FULL suite reachable
+    from the command line. ``--no-payload``: metadata-only run.
+    ``--suggest-drift``: profile the input once and print the recommended
+    ``{column: bin_width}`` drift spec plus ready-to-paste drift-check JSON
+    (suite/suggest.suggest_drift_spec) instead of running the suite.
     SUITE.json defaults to the built-in default_suite."""
     from doc_quality_check_spark.sources.iceberg import (
         load_clips_table,
@@ -440,7 +553,7 @@ def main(argv: list[str]) -> None:
     from doc_quality_check_spark.suite.spec import CheckSuite
 
     flags = {"--baseline": None, "--catalog": None}
-    payload, resume = True, True
+    payload, resume, suggest_drift = True, True, False
     pos: list[str] = []
     i = 0
     while i < len(argv):
@@ -456,6 +569,9 @@ def main(argv: list[str]) -> None:
         elif a == "--no-resume":
             resume = False
             i += 1
+        elif a == "--suggest-drift":
+            suggest_drift = True
+            i += 1
         else:
             pos.append(a)
             i += 1
@@ -469,8 +585,33 @@ def main(argv: list[str]) -> None:
         suite = default_suite()
     spark = SparkSession.builder.appName("dqcs-validate").getOrCreate()
     clips = load_clips_table(spark, clips_src)
+    if suggest_drift:
+        # one profiling pass -> the bin-width spec + paste-ready drift
+        # checks; no suite run (the workflow: suggest, snapshot with these
+        # widths, add the checks, then validate with --baseline)
+        import json as _json
+
+        from doc_quality_check_spark.suite.suggest import suggest_drift_spec
+
+        spec = suggest_drift_spec(clips)
+        checks = [
+            {
+                "constraint_id": f"{col}_drift",
+                "kind": "drift_psi",
+                "column": col,
+                "params": (
+                    {"max_psi": 0.2, "bin_width": bw}
+                    if bw is not None else {"max_psi": 0.2}
+                ),
+            }
+            for col, bw in spec.items()
+        ]
+        print(_json.dumps({"bin_width": spec, "drift_checks": checks}))
+        return
     baseline = (
-        load_clips_table(spark, flags["--baseline"])
+        flags["--baseline"]
+        if flags["--baseline"] == "latest-green"
+        else load_clips_table(spark, flags["--baseline"])
         if flags["--baseline"] else None
     )
     catalog = (

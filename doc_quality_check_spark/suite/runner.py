@@ -328,6 +328,7 @@ class SuiteRunner:
         verdicts = self._partition_verdicts(df, row_checks, part_cols)
 
         table_verdict_rows: list[tuple] = []
+        table_verdict_dfs: list[DataFrame] = []
         check_timings: dict[str, float] = {}
         # schema_match validates the RAW input schema (pure metadata — the
         # checked df has bytes dropped and metric columns added, so it must
@@ -459,18 +460,31 @@ class SuiteRunner:
                             extras[cid] = extra
             for check in table_checks:  # preserve suite order
                 got = results[check.constraint_id]
-                # per-partition drift returns one verdict row PER part_key
-                for row in (got if isinstance(got, list) else [got]):
-                    table_verdict_rows.append(_apply_severity(check, row))
+                if isinstance(got, DataFrame):
+                    # per-partition checks (completeness/drift) return their
+                    # verdict rows as a DataFrame — one row per part_key,
+                    # never collected to the driver (at 10^6 part keys the
+                    # per-check round-trip is the scale wall); severity is a
+                    # column rewrite, the advisory rule unchanged
+                    if check.severity == "warn":
+                        got = got.withColumn("passed", F.lit(True))
+                    table_verdict_dfs.append(got)
+                else:
+                    table_verdict_rows.append(_apply_severity(check, got))
                 if check.constraint_id in extras:
                     viols = viols.unionByName(extras[check.constraint_id])
             if resume_cache is not None:
-                resume_cache.unpersist()
+                # released with the RunResult: per-partition verdict
+                # DataFrames computed over it are lazy and must stay
+                # cache-served until the caller materializes verdicts
+                self._run_caches.append(resume_cache)
 
         if table_verdict_rows:
             spark = df.sparkSession
             tv = spark.createDataFrame(table_verdict_rows, VERDICT_SCHEMA)
             verdicts = verdicts.unionByName(tv)
+        for vdf in table_verdict_dfs:
+            verdicts = verdicts.unionByName(vdf)
 
         summary = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -636,13 +650,18 @@ class SuiteRunner:
                     F.try_divide(F.count(check.column), F.count(F.lit(1))).alias("r"),
                     F.count(F.lit(1)).alias("n"),
                 )
-                rows = [
-                    (r["grp"], cid, int(r["n"]), 0,
-                     bool(r["r"] is not None and r["r"] >= mn),
-                     float(r["r"]) if r["r"] is not None else 0.0)
-                    for r in grouped.collect()
-                ]
-                return rows, None
+                # verdict rows stay a DataFrame — never collected: at 10^6+
+                # part keys the per-check driver round-trip is the scale
+                # wall; rows reach the driver only at the report sink
+                vdf = grouped.select(
+                    F.col("grp").alias("part_key"),
+                    F.lit(cid).alias("constraint_id"),
+                    F.col("n").cast("long").alias("n_rows"),
+                    F.lit(0).cast("long").alias("n_violations"),
+                    (F.col("r").isNotNull() & (F.col("r") >= F.lit(mn))).alias("passed"),
+                    F.coalesce(F.col("r"), F.lit(0.0)).cast("double").alias("metric_value"),
+                )
+                return vdf, None
             row = df.agg(
                 F.try_divide(F.count(check.column), F.count(F.lit(1))).alias("r"),
                 F.count(F.lit(1)).alias("n"),
@@ -845,15 +864,26 @@ class SuiteRunner:
                 # no numeric support drops the group) gets a NULL stat ->
                 # failed verdict, not a silently missing row
                 scored = cur_g.select("grp").distinct().join(scored, "grp", "left")
-                rows = [
-                    (r["grp"], cid, None, 0,
-                     bool(r["stat"] is not None and r["stat"] <= mx),
-                     float(r["stat"]) if r["stat"] is not None else 0.0)
-                    for r in scored.collect()
-                ]
-                return rows, None
+                # DataFrame-native verdict rows (same rationale as
+                # per-partition completeness: no driver round-trip per check)
+                vdf = scored.select(
+                    F.col("grp").alias("part_key"),
+                    F.lit(cid).alias("constraint_id"),
+                    F.lit(None).cast("long").alias("n_rows"),
+                    F.lit(0).cast("long").alias("n_violations"),
+                    (F.col("stat").isNotNull() & (F.col("stat") <= F.lit(mx))).alias("passed"),
+                    F.coalesce(F.col("stat"), F.lit(0.0)).cast("double").alias("metric_value"),
+                )
+                return vdf, None
             cur = histogram(df, check.column, bin_width=p.get("bin_width"))
-            base = baseline.filter(F.col("metric") == check.column).select("bucket", "count")
+            base = baseline.filter(F.col("metric") == check.column)
+            if "part_key" in baseline.columns:
+                # grouped (per-partition) snapshot consumed by a GLOBAL
+                # drift check: collapse to the flat layout — one tiny
+                # aggregate, so one promoted baseline serves both shapes
+                base = base.groupBy("bucket").agg(F.sum("count").alias("count"))
+            else:
+                base = base.select("bucket", "count")
             if check.kind == "drift_psi":
                 metric = float(drift_psi(cur, base).first()["psi"])
                 passed = metric <= float(p.get("max_psi", 0.2))

@@ -618,3 +618,79 @@ def test_job_cli_main_with_baseline_and_catalog(spark, clips_dir, tmp_path):
         jobmod.main(["clips_only"])
     with pytest.raises(SystemExit):
         jobmod.main(["a", "b", "--baseline"])
+
+
+def test_latest_green_baseline_promotion(spark, clips_dir, tmp_path):
+    """Managed drift baselines (round-4 verdict order #6): a fully-green
+    run auto-promotes its histogram snapshot into the manifest trail;
+    baseline="latest-green" resolves it on the next run, drift scores
+    against it (self-drift ~0), and the manifest records which baseline
+    was used. A grouped (per-partition) snapshot also serves the flat
+    drift check via the runner's collapse."""
+    from doc_quality_check_spark.suite.spec import Check
+
+    clips = load_clips(spark, clips_dir).drop("bytes")
+    suite = CheckSuite(
+        name="managed_baseline",
+        partition_by=["part_key"],
+        checks=[
+            Check("id_nn", "not_null", "clip_id", priority=1),
+            Check("sr_drift_pp", "drift_psi", "sr_hz",
+                  {"max_psi": 0.2, "per_partition": True}),
+            Check("sr_drift_flat", "drift_psi", "sr_hz", {"max_psi": 0.2}),
+        ],
+    )
+    job = ValidationJob(suite, str(tmp_path / "mb_out"))
+
+    # run 1: fresh trail — latest-green resolves to nothing, drift prunes,
+    # the green run promotes its snapshot
+    jr1 = job.run(clips, baseline="latest-green", payload=False, resume=False)
+    lin1 = jr1.manifest.input_lineage
+    assert lin1["baseline"] == {"source": "latest-green", "resolved": False}
+    promo = lin1["baseline_promoted"]
+    assert promo["columns"] == ["sr_hz"] and promo["grouped"] is True
+    assert os.path.isdir(promo["path"])
+    cids1 = {r["constraint_id"]
+             for r in jr1.result.verdicts.select("constraint_id").collect()}
+    assert "sr_drift_pp" not in cids1  # pruned: no baseline yet
+    jr1.result.unpersist()
+
+    # run 2: latest-green resolves run 1's snapshot; both drift shapes score
+    jr2 = job.run(clips, baseline="latest-green", payload=False, resume=False)
+    lin2 = jr2.manifest.input_lineage
+    assert lin2["baseline"]["from_run"] == jr1.manifest.run_id
+    assert lin2["baseline"]["path"] == promo["path"]
+    rows = {(r["constraint_id"], r["part_key"]): r
+            for r in jr2.result.verdicts.collect()}
+    drift_rows = [v for (cid, _), v in rows.items() if cid == "sr_drift_pp"]
+    assert drift_rows and all(v["passed"] for v in drift_rows)
+    flat = [v for (cid, pk), v in rows.items()
+            if cid == "sr_drift_flat" and pk == GLOBAL_PART]
+    assert len(flat) == 1 and flat[0]["passed"] and flat[0]["metric_value"] < 1e-9
+    # run 2 was green too -> it promotes its own snapshot, advancing the trail
+    assert lin2["baseline_promoted"]["path"].endswith(
+        f"run_{jr2.manifest.run_id:06d}/baseline_snapshot")
+    jr2.result.unpersist()
+
+
+def test_job_cli_suggest_drift(spark, clips_dir, tmp_path, capsys):
+    """--suggest-drift profiles the input once and prints the bin-width
+    spec + paste-ready drift-check JSON instead of running the suite."""
+    import json as _json
+
+    from doc_quality_check_spark.suite import job as jobmod
+
+    out = str(tmp_path / "sd_out")
+    jobmod.main([
+        os.path.join(clips_dir, "clips.parquet"), out, "--suggest-drift",
+    ])
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    spec = payload["bin_width"]
+    # continuous column -> a 1-2-5 width; categorical string -> None
+    assert isinstance(spec["dur_ms"], (int, float)) and spec["dur_ms"] > 0
+    assert spec["codec"] is None
+    by_col = {c["column"]: c for c in payload["drift_checks"]}
+    assert by_col["dur_ms"]["params"]["bin_width"] == spec["dur_ms"]
+    assert "bin_width" not in by_col["codec"]["params"]
+    # no suite ran: no manifests / reports were written
+    assert not os.path.isdir(os.path.join(out, "manifests"))

@@ -82,10 +82,15 @@ def test_jpeg_error_paths():
         decode_jpeg(b"\x00\x01not a jpeg")
     img = _smooth(16, 16)
     buf = bytearray(encode_jpeg_gray(img, quality=90))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be an explicit stub
+    # flip SOF0 (FFC0) to SOF9 (FFC9): arithmetic coding is an explicit stub
     i = bytes(buf).find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
+    buf[i + 1] = 0xC9
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
+    # a baseline stream merely RELABELED SOF2 is malformed progressive
+    # (its single scan spans Ss=0..Se=63): clear error, not garbage pixels
+    buf[i + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
     # truncation mid-entropy-data -> in-band error, not a hang
     with pytest.raises(Exception):
@@ -200,3 +205,69 @@ def test_jpeg_roundtrip_property(h, w, seed, chroma420):
     # q=95 luma quant steps are <= 6; DCT-domain rounding of step s bounds
     # the spatial error well under 8*s — 24 is a loose, stable ceiling
     assert err <= 24, (h, w, seed, chroma420, err)
+
+
+@pytest.mark.parametrize("quality", [90, 75, 50])
+def test_jpeg_progressive_bit_exact(quality):
+    """The progressive fixture encoder's scan script restores the exact
+    quantized coefficients, so decode_jpeg on the SOF2 stream must be
+    BIT-IDENTICAL to decoding the baseline encoding of the same image —
+    pinning DC first/refine, AC spectral-selection first scans, and both
+    AC successive-approximation refinement passes (round-4 verdict #5)."""
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    img = _smooth(45, 61)  # non-multiple-of-8 dims: MCU padding crossed
+    prog = encode_jpeg_gray_progressive(img, quality=quality)
+    base = encode_jpeg_gray(img, quality=quality)
+    wp, hp, pp = decode_jpeg(prog)
+    wb, hb, pb = decode_jpeg(base)
+    assert (wp, hp) == (wb, hb) == (61, 45)
+    assert np.array_equal(pp, pb)
+    assert _snr_db(img.reshape(-1), pp) > 25.0
+
+
+def test_jpeg_progressive_restarts_and_metrics(spark):
+    """Restart markers inside every progressive scan (DRI applies per
+    scan; predictors and EOB runs reset) still decode bit-exactly, and the
+    Spark image-metrics pass accepts the SOF2 payload (no error row)."""
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    img = _smooth(32, 48)
+    prog = encode_jpeg_gray_progressive(img, quality=85, restart_interval=3)
+    base = encode_jpeg_gray(img, quality=85)
+    assert np.array_equal(decode_jpeg(prog)[2], decode_jpeg(base)[2])
+    df = spark.createDataFrame(
+        [("prog", bytearray(prog))], "media_id string, bytes binary"
+    )
+    m = image_metrics(df).collect()[0]
+    assert m["decode_ok"] and (m["width"], m["height"]) == (48, 32)
+    assert m["error"] is None
+
+
+@given(
+    h=st.integers(9, 40),
+    w=st.integers(9, 40),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_progressive_property(h, w, seed):
+    """Property: for any image shape/content, progressive and baseline
+    encodings of the same plane decode identically (the scan script is a
+    lossless re-serialization of the quantized coefficients)."""
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    # heavy smoothing keeps coefficient magnitudes inside the Annex-K
+    # encode table's s<=10 range (same bound as the baseline encoder)
+    img = (img.astype(np.float64) * 0.25 + 96).astype(np.uint8)
+    prog = encode_jpeg_gray_progressive(img, quality=80)
+    base = encode_jpeg_gray(img, quality=80)
+    assert np.array_equal(decode_jpeg(prog)[2], decode_jpeg(base)[2])
+    assert decode_jpeg(prog)[:2] == (w, h)

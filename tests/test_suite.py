@@ -414,3 +414,54 @@ def test_suggest_suite_warn_ranges(spark, clips_dir):
     assert any(c.kind == "entropy_range" for c in soft)
     others = [c for c in suite.checks if c.kind not in ("in_range", "entropy_range")]
     assert all(c.severity == "error" for c in others)
+
+
+def test_per_partition_verdicts_stay_distributed(spark):
+    """Round-4 verdict order #4: per-partition table checks must return
+    their verdict rows as a DataFrame (one grouped plan), never a
+    per-check driver collect — at 10^6 part keys the round-trip is the
+    scale wall. 10^4 part keys x two per-partition checks here: verdicts
+    arrive complete and _run_table_check's raw return is a DataFrame."""
+    from pyspark.sql import DataFrame
+
+    from doc_quality_check_spark.operators.aggregates import snapshot_histograms
+    from doc_quality_check_spark.suite.spec import Check
+
+    n_parts = 10_000
+    df = spark.range(0, n_parts * 3).select(
+        F.col("id").cast("string").alias("clip_id"),
+        (F.col("id") % n_parts).cast("string").alias("pk"),
+        (F.col("id") % 7).cast("int").alias("sr_hz"),
+    )
+    baseline = snapshot_histograms(
+        df.withColumn("part_key", F.col("pk")), ["sr_hz"], group_col="part_key"
+    )
+    suite = CheckSuite(
+        name="high_card",
+        partition_by=["pk"],
+        checks=[
+            Check("comp_pp", "completeness_min", "sr_hz",
+                  {"min_ratio": 0.5, "per_partition": True}),
+            Check("drift_pp", "drift_psi", "sr_hz",
+                  {"max_psi": 0.2, "per_partition": True}),
+        ],
+    )
+    runner = SuiteRunner(suite)
+    res = runner.run(df, baseline=baseline, payload=False)
+    # the raw check return is a lazy DataFrame — no driver round-trip
+    for check in suite.checks:
+        got, extra = runner._run_table_check(res.checked, check, None, baseline)
+        assert isinstance(got, DataFrame), check.constraint_id
+        assert extra is None
+    counts = {
+        r["constraint_id"]: r["n"]
+        for r in res.verdicts.groupBy("constraint_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts["comp_pp"] == n_parts
+    assert counts["drift_pp"] == n_parts
+    # self-drift ~0 and full completeness: every partition passes
+    n_passed = res.verdicts.filter("passed").count()
+    assert n_passed == 2 * n_parts
+    res.unpersist()
