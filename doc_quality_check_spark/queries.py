@@ -221,20 +221,33 @@ def q_percentiles_sketch(spark, sf):
     quantile_range check runs at 10^12 rows; the exact `percentiles` query
     above exists only as the DuckDB-parity form (single-reducer array sort)
     and is deliberately NOT the benchmarked engine number (r2 verdict:
-    'bench should not present the exact form as an engine number'). Sketch
-    estimates are engine-specific, so this query has no value-parity oracle
-    — the driver records a rows-only check; pytest bounds its error vs the
-    exact values (tests/test_robustness.py)."""
+    'bench should not present the exact form as an engine number').
+
+    Sketch estimates are engine-specific, so raw approx values cannot
+    value-match DuckDB. Round-5 quantitative gate (r4 verdict #7): the
+    query is SELF-CHECKING — it emits the exact percentiles (hash-matched
+    against quantile_cont, the proven-equal pair from `percentiles`) plus
+    one ok_* boolean per probability asserting |approx − exact| ≤ 1% of
+    exact; the oracle asserts TRUE. A sketch drifting past the bound flips
+    the boolean and hash-fails the driver row."""
     li = t(spark, sf, "lineitem")
-    qs = {"p10": 1, "p25": 2, "p50": 3, "p75": 4, "p90": 5}
+    probs = "array(0.1, 0.25, 0.5, 0.75, 0.9)"
     arr = li.agg(
         F.expr(
-            "percentile_approx(l_extendedprice, array(0.1, 0.25, 0.5, 0.75, 0.9), 10000)"
-        ).alias("_q")
+            f"percentile_approx(l_extendedprice, {probs}, 10000)"
+        ).alias("_a"),
+        F.expr(f"percentile(l_extendedprice, {probs})").alias("_e"),
     )
-    return arr.select(*[
-        F.round(F.element_at("_q", i), 4).alias(name) for name, i in qs.items()
-    ])
+    cols = []
+    for name, i in {"p10": 1, "p25": 2, "p50": 3, "p75": 4, "p90": 5}.items():
+        exact = F.element_at("_e", i)
+        approx = F.element_at("_a", i)
+        cols.append(F.round(exact, 4).alias(name))
+        cols.append(
+            (F.abs(approx - exact) <= F.abs(exact) * F.lit(0.01))
+            .alias(f"ok_{name}")
+        )
+    return arr.select(*cols)
 
 
 SQL_PERCENTILES = """
@@ -243,6 +256,19 @@ SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,
        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
        round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+FROM lineitem
+"""
+
+# the sketch query's oracle: exact values (same expressions as
+# SQL_PERCENTILES) + TRUE for each epsilon-bound flag — the Spark side
+# computes the flags from |approx − exact|, so a drifting sketch
+# hash-fails here
+SQL_PERCENTILES_SKETCH = """
+SELECT round(quantile_cont(l_extendedprice, 0.1), 4) AS p10,  TRUE AS ok_p10,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, TRUE AS ok_p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,  TRUE AS ok_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75, TRUE AS ok_p75,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,  TRUE AS ok_p90
 FROM lineitem
 """
 
@@ -755,6 +781,7 @@ ORACLES: dict[str, str] = {
     "rollup_stats": SQL_ROLLUP,
     "category_stats": SQL_CATEGORY_STATS,
     "percentiles": SQL_PERCENTILES,
+    "percentiles_sketch": SQL_PERCENTILES_SKETCH,
     "threshold_sweep": SQL_SWEEP,
     "duplicate_keys": SQL_DUP_KEYS,
     "referential_anti": SQL_REF_ANTI,

@@ -128,3 +128,27 @@ def test_neardup_plan_no_cartesian(neardup_df):
     plan = audio_neardup_pairs(neardup_df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_audio_neardup_golden_pairs(spark, sf01_dir):
+    """Quantitative gate for the rows-only driver query (r4 verdict #7):
+    the EXACT (id_a, id_b, hamming) set at sf0.01 is deterministic (seeded
+    synth, integer fingerprints) — pin it as a golden so any fingerprint /
+    LSH / banding regression shows as a set diff, not a row-count drift."""
+    import json
+    import os
+
+    from doc_quality_check_spark.queries import QUERIES
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "golden_audio_neardup_sf001.json",
+    )
+    with open(golden_path) as fh:
+        golden = {(a, b, h) for a, b, h in json.load(fh)}
+    got = {
+        (r["id_a"], r["id_b"], int(r["hamming"]))
+        for r in QUERIES["audio_neardup"](spark, sf01_dir).collect()
+    }
+    assert len(golden) == 278
+    assert got == golden

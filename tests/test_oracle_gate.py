@@ -35,6 +35,9 @@ NEVER_SAMPLED = [
     "column_entropy",
     "heavy_hitters_cms",
     "image_decode_metrics",  # new in round 4 (real PNG+JPEG codecs)
+    # round 5: gained an oracle (self-checking epsilon-bound booleans) —
+    # never sampled WITH an oracle before, so it pins here
+    "percentiles_sketch",
     "range_join",
     "running_total",
     "sessionize",

@@ -159,3 +159,65 @@ def test_iou_dedupe_segments(spark):
     assert ("A", 50.0, 120.0) not in kept2        # IoU 50/120 > 0.3 → dropped
     # C: IoU 25/75 = 0.33 > 0.3 → second one dropped even without touching rule
     assert ("C", 25.0, 75.0) not in kept2
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 14),
+    groups=st.integers(1, 3),
+)
+def test_iou_dedupe_invariants_property(seed, n, groups, spark):
+    """Property gate for the rows-only iou_dedupe query (r4 verdict #7):
+    over random interval sets, every surviving pair within a group has
+    IoU <= threshold (and no touching under drop_touching), and every
+    dropped segment conflicts with some LARGER-OR-EQUAL kept segment —
+    the greedy largest-first contract."""
+    import numpy as np
+
+    from doc_quality_check_spark.operators.segmentation import (
+        iou_dedupe_segments,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(groups):
+        for _ in range(n):
+            s = float(rng.integers(0, 500))
+            rows.append((f"c{g}", s, s + float(rng.integers(10, 200))))
+    df = spark.createDataFrame(
+        rows, "clip_id string, seg_start_ms double, seg_end_ms double"
+    )
+    thr = 0.3
+    kept = iou_dedupe_segments(df, iou_threshold=thr).collect()
+    by_group: dict[str, list[tuple[float, float]]] = {}
+    for r in kept:
+        by_group.setdefault(r["clip_id"], []).append(
+            (r["seg_start_ms"], r["seg_end_ms"])
+        )
+
+    def conflict(a, b):
+        inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+        union = (a[1] - a[0]) + (b[1] - b[0]) - inter
+        iou = inter / union if union > 0 else 0.0
+        touching = min(a[1], b[1]) >= max(a[0], b[0])  # overlap OR touch
+        return iou > thr or touching
+
+    for segs in by_group.values():
+        for i in range(len(segs)):
+            for j in range(i + 1, len(segs)):
+                assert not conflict(segs[i], segs[j]), (segs[i], segs[j])
+
+    # every dropped segment conflicts with a kept one at least as large
+    kept_set = {(r["clip_id"], r["seg_start_ms"], r["seg_end_ms"])
+                for r in kept}
+    for cid, s, e in rows:
+        if (cid, s, e) in kept_set:
+            continue
+        assert any(
+            conflict((s, e), k) and (k[1] - k[0]) >= (e - s)
+            for k in by_group.get(cid, [])
+        ), (cid, s, e)
