@@ -68,12 +68,21 @@ def encode_fake_image(seed: int, width: int, height: int) -> bytes:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png_gray(pixels: "np.ndarray") -> bytes:
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png_gray(pixels: "np.ndarray", interlace: bool = False) -> bytes:
     """Minimal stdlib PNG writer for an (h, w) uint8 grayscale plane
     (color type 0, bit depth 8, filter 0 rows) — the deterministic fixture
     generator for :func:`decode_png`, the role
     :func:`doc_quality_check_spark.functions.jpeg.encode_jpeg_gray` plays
-    for JPEG."""
+    for JPEG. ``interlace=True`` serializes the seven Adam7 passes (each
+    its own filtered sub-image), exercising the decoder's interlaced
+    path."""
     import struct as _struct
     import zlib as _zlib
 
@@ -90,10 +99,20 @@ def encode_png_gray(pixels: "np.ndarray") -> bytes:
             + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue  # empty pass contributes NO bytes (PNG spec §8.2)
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IHDR",
+                _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, int(interlace)))
         + chunk(b"IDAT", _zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -102,12 +121,61 @@ def encode_png_gray(pixels: "np.ndarray") -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _png_unfilter(
+    raw: bytes, off: int, height: int, stride: int, bpp: int
+) -> tuple["np.ndarray", int]:
+    """Reconstruct one filtered (sub-)image of ``height`` rows x ``stride``
+    bytes starting at ``off`` (PNG spec §9). Returns (rows, next offset).
+    None/Up are vectorized; Sub is a per-byte-lane cumsum mod 256;
+    Average/Paeth are sequential by definition (left-neighbor dependency)
+    and loop per byte — fine for a metrics pass."""
+    if len(raw) - off < height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        o = off + y * (stride + 1)
+        ft = raw[o]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=o + 1
+        ).astype(np.int32)
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: rec[i] = line[i] + rec[i-bpp] → lane-wise cumsum
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        img[y] = rec
+        prev = rec
+    return img, off + height * (stride + 1)
+
+
 def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Minimal from-scratch PNG reader: bytes → (width, height, flattened
     8-bit grayscale). Stdlib only (zlib inflate) + numpy for filter
     reconstruction. Supports bit depth 8, color types 0/2/3/4/6 (gray, RGB,
-    palette, gray+alpha, RGBA), non-interlaced — the overwhelming bulk of
-    real-world PNGs; 16-bit, sub-byte depths, and Adam7 interlace raise
+    palette, gray+alpha, RGBA), non-interlaced AND Adam7-interlaced
+    (round 5: each of the seven passes unfilters as its own sub-image and
+    scatters onto the output grid); 16-bit and sub-byte depths raise
     NotImplementedError (in-band error rows downstream). Color is collapsed
     to BT.601 luma for the ink metric; alpha is ignored.
 
@@ -141,8 +209,8 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if bit_depth != 8 or color_type not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"PNG bit_depth={bit_depth} color_type={color_type} not supported"
@@ -154,46 +222,26 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
 
     raw = zlib.decompress(bytes(idat))
     bpp = _PNG_CHANNELS[color_type]  # bytes/pixel at depth 8
-    stride = width * bpp
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    img = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        off = y * (stride + 1)
-        ft = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(
-            np.int32
-        )
-        if ft == 0:  # None
-            rec = line
-        elif ft == 1:  # Sub: rec[i] = line[i] + rec[i-bpp] → lane-wise cumsum
-            rec = line.copy()
-            for lane in range(bpp):
-                rec[lane::bpp] = np.cumsum(rec[lane::bpp]) & 0xFF
-        elif ft == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif ft == 3:  # Average
-            rec = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        img[y] = rec
-        prev = rec
-
-    px = img.reshape(height, width, bpp)
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        img, _ = _png_unfilter(raw, 0, height, stride, bpp)
+        px = img.reshape(height, width, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images (filters reference
+        # WITHIN-pass neighbors), each scattered onto its pass grid
+        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass carries no bytes
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if color_type == 0:
         gray = px[:, :, 0]
     elif color_type == 4:
