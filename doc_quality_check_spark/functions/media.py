@@ -265,9 +265,10 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
 
 
 def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """bytes → (width, height, grayscale array). PNG and baseline JPEG are
-    real from-scratch decoders; progressive JPEG raises NotImplementedError
-    (in-band error row downstream)."""
+    """bytes → (width, height, grayscale array). PNG (incl. Adam7) and
+    JPEG (baseline + progressive) are real from-scratch decoders;
+    arithmetic-coded / 12-bit JPEG and 16-bit PNG raise
+    NotImplementedError (in-band error row downstream)."""
     if buf is None or len(buf) == 0:
         return 0, 0, np.zeros(0, dtype=np.uint8)  # empty-input default row
     b = bytes(buf)
