@@ -48,6 +48,7 @@ from doc_quality_check_spark.functions.audio import _hann, decode_payload
 from doc_quality_check_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     banded_pairs,
+    hamming_block_keys,
 )
 
 # 9 time frames x 9 log-spaced bands -> (9-1) x (9-1) = 64 difference bits
@@ -131,6 +132,7 @@ def audio_neardup_pairs(
     bands: int = AFP_BANDS,
     materialize: bool = True,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate clip pairs (id_a, id_b, hamming) with fingerprint
     Hamming distance <= max_hamming.
@@ -148,29 +150,19 @@ def audio_neardup_pairs(
     (sf0.1 events-synthesized corpus, ~1.5k clips): 28.8s → ~4s. The text
     finders default OFF because their signature pass is one cheap
     aggregation; this one is the hot path itself."""
-    n_blocks = max_hamming + 1
-    assert 2 <= n_blocks <= 64, "need 2..64 blocks over a 64-bit fingerprint"
-    width = 64 // n_blocks
+    # default: the classic one-identical-block scheme (max_hamming+1 blocks,
+    # combination size 1). For large corpora pass a HIGHER n_blocks — e.g.
+    # 10 → C(10,3)=120 keys of ~19 bits — so buckets fill by similarity, not
+    # volume (see dedup.hamming_block_keys; the exact bit_count post-filter
+    # keeps the pair set identical for every n_blocks choice).
+    nb = n_blocks if n_blocks is not None else max_hamming + 1
     fp = audio_fingerprints(df, id_col, bytes_col, codec_col, frames, bands)
     fp = fp.filter(F.col("afp").isNotNull())
     if materialize:
         fp = fp.localCheckpoint(eager=True)
-    blocks = []
-    for bi in range(n_blocks):
-        shift = bi * width
-        # last block absorbs the 64 % n_blocks remainder bits
-        w = 64 - shift if bi == n_blocks - 1 else width
-        mask = (1 << w) - 1
-        blocks.append(
-            F.struct(
-                F.lit(bi).alias("blk"),
-                F.shiftrightunsigned("afp", shift)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-        )
+    keys = hamming_block_keys(F.col("afp"), 64, nb, max_hamming)
     long = fp.select(
-        F.col(id_col), "afp", F.explode(F.array(*blocks)).alias("e")
+        F.col(id_col), "afp", F.explode(F.array(*keys)).alias("e")
     ).select(
         F.col(id_col), "afp", F.col("e.blk").alias("blk"), F.col("e.val").alias("val")
     )

@@ -187,7 +187,77 @@ def _drop_hot_shingles(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
 # it never engages at fixture scale (measured max band-bucket size: 2 at
 # sf0.01, 4 at sf0.1), so oracle parity holds, exactly the
 # DEFAULT_MAX_SHINGLE_DF design.
+#
+# SCOPE (review round 5): star-reduction preserves clusters only when a hot
+# bucket is SIMILARITY-degenerate (near-identical members — the boilerplate
+# case it targets). Buckets that fill by VOLUME (narrow keys: an 8-bit
+# simhash block holds ~n/256 mutually-dissimilar docs once the corpus is
+# large) must not be star-reduced — widen the join key instead with
+# ``n_blocks`` (hamming_block_keys below) so occupancy stays
+# similarity-driven before the cap ever engages.
 DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def hamming_block_keys(
+    col, total_bits: int, n_blocks: int, max_hamming: int,
+) -> list:
+    """Pigeonhole join keys for Hamming-distance LSH, generalized to block
+    COMBINATIONS (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
+    Web Crawling", WWW 2007 §3): split a ``total_bits`` fingerprint into
+    ``n_blocks`` near-equal blocks; if hamming(a, b) <= max_hamming then at
+    most max_hamming blocks differ, so at least k = n_blocks - max_hamming
+    blocks are identical — and therefore SOME k-subset of blocks matches
+    exactly. Emitting one key per k-combination (C(n_blocks, k) keys of
+    ~k*total_bits/n_blocks bits each) finds every qualifying pair with an
+    equi-join, never an all-pairs scan.
+
+    Why the knob matters at scale: with n_blocks = max_hamming + 1 (the
+    classic single-block scheme, k=1) the key is only
+    total_bits/(max_hamming+1) bits wide, so buckets fill by VOLUME at
+    ~n / 2^width mutually-dissimilar members — the candidate join goes
+    quadratic in corpus size regardless of similarity. Raising n_blocks
+    widens the key (k grows faster than the per-block width shrinks):
+    e.g. 64 bits, max_hamming=7 → n_blocks=8 gives 8 keys of 8 bits;
+    n_blocks=10 gives C(10,3)=120 keys of ~19 bits (occupancy n/524288).
+    Choose n_blocks so 2^(k*width) >> n / max_bucket_size.
+
+    Returns struct(blk, val) Columns, one per combination — ``blk`` is the
+    combination index, ``val`` the packed block values."""
+    from itertools import combinations
+
+    if not (max_hamming < n_blocks <= total_bits):
+        raise ValueError(
+            f"need max_hamming < n_blocks <= total_bits, got "
+            f"{max_hamming=} {n_blocks=} {total_bits=}"
+        )
+    base = total_bits // n_blocks
+    rem = total_bits % n_blocks
+    widths = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    k = n_blocks - max_hamming
+    combos = list(combinations(range(n_blocks), k))
+    widest = max(sum(widths[bi] for bi in c) for c in combos)
+    if widest > 62:
+        # packed keys live in a signed long; ANSI mode would throw on
+        # overflow mid-job — reject the configuration upfront instead
+        raise ValueError(
+            f"combination key is {widest} bits (> 62): lower n_blocks or "
+            "raise max_hamming so packed keys fit a long"
+        )
+    keys = []
+    for cid, combo in enumerate(combos):
+        val = None
+        for bi in combo:
+            blockv = F.shiftrightunsigned(col, offsets[bi]).bitwiseAND(
+                F.lit((1 << widths[bi]) - 1)
+            )
+            val = blockv if val is None else (
+                val * F.lit(1 << widths[bi]) + blockv
+            )
+        keys.append(
+            F.struct(F.lit(cid).alias("blk"), val.cast("long").alias("val"))
+        )
+    return keys
 
 
 def banded_pairs(
@@ -555,11 +625,19 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, max_hamming: int = 3,
     materialize: bool = False,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    n_blocks: int = SIMHASH_BLOCKS,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming →
-    (id_a, id_b, hamming). Candidates come from an equi-join on 8-bit blocks:
-    with 4 blocks and max_hamming <= 3, pigeonhole guarantees one identical
-    block per qualifying pair — equivalent to the all-pairs scan, without it.
+    (id_a, id_b, hamming). Candidates come from an equi-join on pigeonhole
+    block-combination keys (:func:`hamming_block_keys`): with the default
+    ``n_blocks=4`` and max_hamming <= 3 this is the classic one-identical-
+    8-bit-block scheme — equivalent to the all-pairs scan, without it.
+
+    ``n_blocks`` is the SCALE knob: 8-bit keys fill by volume at ~n/256
+    dissimilar docs per bucket, so for large corpora raise n_blocks (e.g.
+    6 → C(6,3)=20 keys of ~16 bits, occupancy n/65536) to keep buckets
+    similarity-driven. The exact Hamming post-filter makes every n_blocks
+    choice return the SAME pair set — only candidate volume changes.
 
     ``materialize`` (default OFF): checkpointing the signature table before
     the two self-join sides A/B measured a wash at sf0.1 (2.6-3.2s both
@@ -567,27 +645,25 @@ def simhash_pairs(
     blocking checkpoint gives back what the reuse saves. Knob kept for
     wider signature tables.
 
-    ``max_bucket_size``: hot-block guard (see :func:`banded_pairs`) —
-    near-identical corpora put every doc in the same (blk, val) bucket;
-    above the cap the bucket star-reduces to (bucket-min, member) edges
-    before the Hamming filter, preserving clusters with linear output."""
-    assert max_hamming < SIMHASH_BLOCKS, "pigeonhole requires max_hamming < n_blocks"
+    ``max_bucket_size``: hot-block guard (see :func:`banded_pairs`) for
+    SIMILARITY-degenerate corpora (near-identical docs all sharing one
+    bucket): above the cap the bucket star-reduces to (bucket-min, member)
+    edges before the Hamming filter — linear output, clusters preserved
+    when members are near-dups of the representative. For volume-filled
+    buckets widen ``n_blocks`` instead (see the DEFAULT_MAX_BUCKET_SIZE
+    scope note)."""
     sig = simhash(df, id_col, text_col, n)
     if materialize:
         sig = sig.localCheckpoint(eager=True)
+    keys = hamming_block_keys(
+        F.col("simhash"), SIMHASH_BITS, n_blocks, max_hamming
+    )
     blocks = sig.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(bi).alias("blk"),
-                    F.shiftrightunsigned("simhash", 8 * bi).bitwiseAND(F.lit(255)).alias("val"),
-                )
-                for bi in range(SIMHASH_BLOCKS)
-            ])
-        ).alias("e"),
-    ).select(F.col(id_col), "simhash", F.col("e.blk").alias("blk"), F.col("e.val").alias("val"))
+        F.col(id_col), "simhash", F.explode(F.array(*keys)).alias("e")
+    ).select(
+        F.col(id_col), "simhash",
+        F.col("e.blk").alias("blk"), F.col("e.val").alias("val"),
+    )
     cand = banded_pairs(
         blocks, id_col, ["blk", "val"], payload_cols=["simhash"],
         max_bucket_size=max_bucket_size,

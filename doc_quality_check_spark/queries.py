@@ -229,7 +229,13 @@ def q_percentiles_sketch(spark, sf):
     against quantile_cont, the proven-equal pair from `percentiles`) plus
     one ok_* boolean per probability asserting |approx − exact| ≤ 1% of
     exact; the oracle asserts TRUE. A sketch drifting past the bound flips
-    the boolean and hash-fails the driver row."""
+    the boolean and hash-fails the driver row.
+
+    Scale note: embedding percentile() makes THIS GATE QUERY carry the
+    single-reducer exact sort — deliberate, because driver-gate queries
+    run at fixture scale only. The production percentile path (the
+    quantile_range check, percentile_approx/t-digest) never computes the
+    exact form; don't read this query's bench time as the sketch cost."""
     li = t(spark, sf, "lineitem")
     probs = "array(0.1, 0.25, 0.5, 0.75, 0.9)"
     arr = li.agg(

@@ -319,6 +319,19 @@ class ValidationJob:
             paths[fmt] = write_report(rep_dir, fmt, content, m.run_id, ts)
 
         self.manifests.finish_run(m, "complete")
+        # every sink is materialized: rebind the result tables to their
+        # written parquet so later reads don't depend on the run's caches,
+        # then release the heavyweight extras (resume re-decode,
+        # payload_neardup) NOW — a long-lived service looping job.run()
+        # must not pin one full-table decode cache per run (round-5 review
+        # finding; res.checked stays cached for the caller, released by
+        # RunResult.unpersist())
+        spark = clips.sparkSession
+        res.violations = spark.read.parquet(viol_path)
+        res.verdicts = spark.read.parquet(verd_path)
+        for cached in res.extra_caches:
+            cached.unpersist()
+        res.extra_caches = []
         return JobResult(manifest=m, result=res, report_paths=paths)
 
     # ------------------------------------------------------------------
@@ -379,10 +392,29 @@ class ValidationJob:
             snapshot_histograms,
         )
 
+        # conflicting widths on one column can never score both checks
+        # against one snapshot (bucket labels wouldn't align — every bucket
+        # would look added/removed, spurious max drift): keep such columns
+        # OUT of the promoted snapshot and record why, rather than silently
+        # promoting whichever check iterated last (round-5 review finding)
+        widths: dict[str, set] = {}
+        for c in drift_checks:
+            if c.params.get("bin_width") is not None:
+                widths.setdefault(c.column, set()).add(
+                    float(c.params["bin_width"])
+                )
+        conflicted = sorted(col for col, ws in widths.items() if len(ws) > 1)
+        if conflicted:
+            cols = [c for c in cols if c not in conflicted]
+            if not cols:
+                m.input_lineage["baseline_promotion_skipped"] = {
+                    "bin_width_conflicts": conflicted
+                }
+                return
         bin_width = {
-            c.column: float(c.params["bin_width"])
-            for c in drift_checks
-            if c.params.get("bin_width") is not None
+            col: next(iter(ws))
+            for col, ws in widths.items()
+            if len(ws) == 1 and col in cols
         }
         per_part = bool(self.suite.partition_by) and any(
             _param_bool(c.params.get("per_partition", False))
@@ -409,6 +441,10 @@ class ValidationJob:
             "columns": cols,
             "bin_width": bin_width,
             "grouped": per_part,
+            **(
+                {"bin_width_conflicts_skipped": conflicted}
+                if conflicted else {}
+            ),
         }
 
     # ------------------------------------------------------------------

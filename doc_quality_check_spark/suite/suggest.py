@@ -190,8 +190,17 @@ def suggest_drift_spec(
       ``target_bins`` bins, rounded UP to 1-2-5×10^k so the widths are
       human-stable (a re-profile on slightly different data yields the
       SAME width — raw span/target_bins would churn every snapshot);
-    - numeric low-cardinality or string → None (raw categorical buckets);
-    - binary columns are skipped entirely (never profiled).
+    - numeric low-cardinality or low-cardinality string → None (raw
+      categorical buckets);
+    - binary columns are skipped entirely (never profiled);
+    - columns with no meaningful drift distribution are DROPPED from the
+      spec (round-5 review: the CLI pastes the spec straight into drift
+      checks): identifier-like numerics (approx-distinct >= 90% of rows —
+      drift on a unique key reads 100% every snapshot) and
+      high-cardinality strings (> ``max_categorical_distinct`` distinct —
+      free text can't bucket by equality, and its histogram would grow
+      one bucket per distinct value, the unbounded-histogram failure
+      ``bin_width`` exists to prevent).
 
     The point at scale: unbinned continuous columns make the drift
     histogram as large as the distinct-value count (operators/aggregates
@@ -217,7 +226,9 @@ def suggest_drift_spec(
             )
     if not fields:
         return {}
+    aggs.append(F.count(F.lit(1)).alias("__n"))
     prof = df.agg(*aggs).first()
+    n_rows = int(prof["__n"] or 0)
 
     def round_125(x: float) -> float:
         # smallest 1/2/5 x 10^k width >= x: stable across re-profiles
@@ -234,6 +245,11 @@ def suggest_drift_spec(
     for f in fields:
         c = f.name
         nd = prof[f"nd__{c}"] or 0
+        if nd > max_categorical_distinct:
+            if c not in numeric:
+                continue  # high-cardinality string: not drift-checkable
+            if n_rows and nd >= 0.9 * n_rows:
+                continue  # identifier-like numeric: no distribution
         if c in numeric and nd > max_categorical_distinct:
             pq = prof[f"pq__{c}"]
             span = (

@@ -152,3 +152,17 @@ def test_audio_neardup_golden_pairs(spark, sf01_dir):
     }
     assert len(golden) == 278
     assert got == golden
+
+
+def test_neardup_wide_block_keys_same_pairs(neardup_df):
+    """Manku-style block-combination keys (round-5 review): raising
+    n_blocks widens the join key so buckets fill by similarity instead of
+    volume at scale — and the exact bit_count post-filter means the pair
+    set is IDENTICAL to the classic one-block scheme."""
+    base = {tuple(r) for r in
+            audio_neardup_pairs(neardup_df, max_hamming=7).collect()}
+    wide = {tuple(r) for r in
+            audio_neardup_pairs(neardup_df, max_hamming=7,
+                                n_blocks=10).collect()}
+    assert base == wide
+    assert base, "fixture must contain near-dup pairs"

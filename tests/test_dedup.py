@@ -550,3 +550,27 @@ def test_hot_bucket_guard_no_effect_below_cap(spark, sf001_dir):
         }
         assert capped == uncapped
         assert capped, "fixture must contain near-dup pairs"
+
+
+def test_simhash_wide_block_keys_same_pairs(spark, sf001_dir):
+    """simhash n_blocks knob (Manku WWW'07 block combinations): a wider
+    key (6 blocks -> C(6,3)=20 keys of ~16 bits) returns the identical
+    pair set — only candidate volume changes, never results."""
+    docs = spark.read.parquet(f"{sf001_dir}/documents.parquet")
+    base = {tuple(r) for r in
+            simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    wide = {tuple(r) for r in
+            simhash_pairs(docs, "doc_id", "text", max_hamming=3,
+                          n_blocks=6).collect()}
+    assert base == wide and base
+
+
+def test_hamming_block_keys_validation():
+    from pyspark.sql import functions as F
+
+    from doc_quality_check_spark.operators.dedup import hamming_block_keys
+
+    with pytest.raises(ValueError, match="max_hamming < n_blocks"):
+        hamming_block_keys(F.col("x"), 64, 3, 3)
+    with pytest.raises(ValueError, match="> 62"):
+        hamming_block_keys(F.col("x"), 64, 64, 1)  # 63-bit packed key

@@ -689,8 +689,13 @@ def test_job_cli_suggest_drift(spark, clips_dir, tmp_path, capsys):
     # continuous column -> a 1-2-5 width; categorical string -> None
     assert isinstance(spec["dur_ms"], (int, float)) and spec["dur_ms"] > 0
     assert spec["codec"] is None
+    # identifier-like / free-text columns must NOT become drift checks: a
+    # pasted clip_id_drift would fail every run and block baseline
+    # promotion forever (round-5 review finding)
+    assert "clip_id" not in spec and "transcript" not in spec
     by_col = {c["column"]: c for c in payload["drift_checks"]}
     assert by_col["dur_ms"]["params"]["bin_width"] == spec["dur_ms"]
     assert "bin_width" not in by_col["codec"]["params"]
+    assert "clip_id" not in by_col
     # no suite ran: no manifests / reports were written
     assert not os.path.isdir(os.path.join(out, "manifests"))
