@@ -6,12 +6,14 @@ provides the Spark-side plumbing — typed metadata schema, Arrow-batched
 ``mapInPandas`` decode, batch-shape discipline — plus two REAL image codecs:
 
 - ``decode_png`` is a from-scratch stdlib PNG reader (zlib inflate + full
-  filter reconstruction, 8-bit gray/RGB/palette/alpha variants) — real
-  PNGs produce real width/height/ink metrics end-to-end.
-- baseline JPEG decodes via :mod:`doc_quality_check_spark.functions.jpeg`
-  (from-scratch Huffman + dequant + IDCT; grayscale and YCbCr 4:4:4/4:2:2/
-  4:2:0, restart markers). Progressive JPEG raises NotImplementedError →
-  in-band error rows.
+  filter reconstruction; every legal depth 1/2/4/8/16 × gray/RGB/palette/
+  alpha combination, non-interlaced and Adam7) — real PNGs produce real
+  width/height/ink metrics end-to-end.
+- JPEG decodes via :mod:`doc_quality_check_spark.functions.jpeg`
+  (from-scratch Huffman + dequant + IDCT; baseline grayscale and YCbCr
+  4:4:4/4:2:2/4:2:0 plus progressive SOF2, restart markers). Arithmetic
+  coding / 12-bit precision raise NotImplementedError → in-band error
+  rows.
 - ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
   deterministic fixture format.
 - VIDEO: YUV4MPEG2 (Y4M) streams decode for real (stdlib parser —
@@ -117,8 +119,34 @@ def encode_png_gray(pixels: "np.ndarray", interlace: bool = False) -> bytes:
         + chunk(b"IEND", b"")
     )
 
-# channels per pixel for the PNG color types we decode (8-bit depth only)
+# channels per pixel and legal bit depths per PNG color type (spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_pixels(
+    img: "np.ndarray", w: int, channels: int, depth: int, scale_subbyte: bool
+) -> "np.ndarray":
+    """(h, stride) unfiltered scanline bytes → (h, w, channels) uint8
+    samples. 16-bit reduces to the high byte (PNG is big-endian; the luma
+    metrics are 8-bit). Sub-byte depths (1/2/4, single channel) unpack
+    MSB-first; ``scale_subbyte`` expands gray values to the full 8-bit
+    range (×255/(2^d−1), exact) while palette INDICES stay raw."""
+    h = img.shape[0]
+    if depth == 8:
+        return img.reshape(h, w, channels)
+    if depth == 16:
+        return img.reshape(h, -1)[:, 0::2].reshape(h, w, channels)
+    bits = np.unpackbits(img, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    v = (
+        (bits.reshape(h, -1, depth).astype(np.uint16) * weights)
+        .sum(axis=2)[:, :w]
+    )
+    if scale_subbyte:
+        v = v * (255 // ((1 << depth) - 1))
+    return v.astype(np.uint8)[:, :, None]
 
 
 def _png_unfilter(
@@ -172,12 +200,13 @@ def _png_unfilter(
 def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Minimal from-scratch PNG reader: bytes → (width, height, flattened
     8-bit grayscale). Stdlib only (zlib inflate) + numpy for filter
-    reconstruction. Supports bit depth 8, color types 0/2/3/4/6 (gray, RGB,
-    palette, gray+alpha, RGBA), non-interlaced AND Adam7-interlaced
-    (round 5: each of the seven passes unfilters as its own sub-image and
-    scatters onto the output grid); 16-bit and sub-byte depths raise
-    NotImplementedError (in-band error rows downstream). Color is collapsed
-    to BT.601 luma for the ink metric; alpha is ignored.
+    reconstruction. Round 5: EVERY legal (bit depth, color type)
+    combination decodes — depths 1/2/4/8/16 across color types 0/2/3/4/6
+    (gray, RGB, palette, gray+alpha, RGBA), non-interlaced AND
+    Adam7-interlaced (each of the seven passes unfilters as its own
+    sub-image and scatters onto the output grid). 16-bit reduces to the
+    high byte; sub-byte gray expands to the full 8-bit range. Color is
+    collapsed to BT.601 luma for the ink metric; alpha is ignored.
 
     Filter reconstruction (PNG spec §9): None and Up are vectorized; Sub is
     a per-byte-lane cumsum mod 256; Average/Paeth are sequential by
@@ -211,9 +240,13 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("PNG missing IHDR")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG bit_depth={bit_depth} color_type={color_type} not supported"
+    if color_type not in _PNG_CHANNELS or bit_depth not in _PNG_DEPTHS.get(
+        color_type, ()
+    ):
+        # every LEGAL (depth, color type) combination decodes as of round 5
+        # — anything else is a malformed header, not a missing feature
+        raise ValueError(
+            f"invalid PNG bit_depth={bit_depth} color_type={color_type}"
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
@@ -221,25 +254,34 @@ def decode_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     import zlib
 
     raw = zlib.decompress(bytes(idat))
-    bpp = _PNG_CHANNELS[color_type]  # bytes/pixel at depth 8
+    channels = _PNG_CHANNELS[color_type]
+    # the FILTER unit is one byte when a pixel packs below a byte (§9.2)
+    fbpp = max(1, channels * bit_depth // 8)
+    scale_sub = color_type == 0  # gray expands to 8-bit; indices stay raw
+
+    def pass_stride(pw: int) -> int:
+        return (pw * channels * bit_depth + 7) // 8
+
     if interlace == 0:
-        stride = width * bpp
+        stride = pass_stride(width)
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
-        img, _ = _png_unfilter(raw, 0, height, stride, bpp)
-        px = img.reshape(height, width, bpp)
+        img, _ = _png_unfilter(raw, 0, height, stride, fbpp)
+        px = _png_pixels(img, width, channels, bit_depth, scale_sub)
     else:
         # Adam7: seven independently-filtered sub-images (filters reference
         # WITHIN-pass neighbors), each scattered onto its pass grid
-        px = np.zeros((height, width, bpp), dtype=np.uint8)
+        px = np.zeros((height, width, channels), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass carries no bytes
-            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            sub, off = _png_unfilter(raw, off, ph, pass_stride(pw), fbpp)
+            px[y0::dy, x0::dx] = _png_pixels(
+                sub, pw, channels, bit_depth, scale_sub
+            )
         if off != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     if color_type == 0:

@@ -72,34 +72,50 @@ _A7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
+def _pack_rows(subpx: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, ch) samples → (h, stride) packed scanline BYTES at depth
+    (16-bit big-endian; sub-byte MSB-first bit packing)."""
+    sh, sw, ch = subpx.shape
+    if depth == 8:
+        return subpx.reshape(sh, sw * ch).astype(np.uint8)
+    if depth == 16:
+        u16 = subpx.reshape(sh, sw * ch).astype(">u2")
+        return np.frombuffer(u16.tobytes(), np.uint8).reshape(sh, sw * ch * 2)
+    assert ch == 1
+    bits = (
+        (subpx.reshape(sh, sw, 1).astype(np.uint8)[:, :, 0:1]
+         >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(sh, sw * depth)
+    return np.packbits(bits, axis=1)  # pads the row tail with zero bits
+
+
 def encode_png(pixels: np.ndarray, color_type: int, filters=None,
                palette: np.ndarray | None = None,
-               interlace: bool = False) -> bytes:
-    """pixels: (h, w, channels) uint8 (or (h, w) index array for palette).
+               interlace: bool = False, depth: int = 8) -> bytes:
+    """pixels: (h, w, channels) samples (or (h, w) for single-channel).
     ``interlace=True`` writes the seven Adam7 passes, each independently
-    filtered (filters reference within-pass neighbors only)."""
+    filtered (filters reference within-pass neighbors only). ``depth``
+    supports 1/2/4/8/16 per the spec's legal combinations."""
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, ch = pixels.shape
     assert ch == _CHANNELS[color_type]
     filters = filters if filters is not None else [0] * h
+    fbpp = max(1, ch * depth // 8)  # filter unit (spec §9.2)
     scan = bytearray()
-    if interlace:
-        for x0, y0, dx, dy in _A7:
-            subpx = pixels[y0::dy, x0::dx]
-            if subpx.size == 0:
-                continue
-            sh, sw = subpx.shape[:2]
-            scan += _filtered_scanlines(
-                subpx.reshape(sh, sw * ch).astype(np.int32), ch, filters
-            )
-    else:
+    passes = (
+        [pixels[y0::dy, x0::dx] for x0, y0, dx, dy in _A7]
+        if interlace else [pixels]
+    )
+    for subpx in passes:
+        if subpx.size == 0:
+            continue
         scan += _filtered_scanlines(
-            pixels.reshape(h, w * ch).astype(np.int32), ch, filters
+            _pack_rows(subpx, depth).astype(np.int32), fbpp, filters
         )
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _chunk(b"IHDR", struct.pack(
-        ">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace)))
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)))
     if palette is not None:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
     out += _chunk(b"IDAT", zlib.compress(bytes(scan)))
@@ -151,13 +167,19 @@ def test_decode_palette_and_gray_alpha():
 def test_unsupported_and_corrupt_pngs():
     px = np.zeros((4, 4), dtype=np.uint8)
     good = encode_png(px, 0)
-    # 16-bit depth → NotImplementedError
+    # an 8-bit stream RELABELED 16-bit has half the required bytes: clear
+    # length-mismatch error (16-bit itself now decodes — see depth tests)
     deep = bytearray(good)
     ihdr_off = 8 + 8  # sig + len/type
     deep[ihdr_off + 8] = 16
     # recompute nothing — decoder ignores CRC
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(deep))
+    # an ILLEGAL depth/color combination (3-bit) is a malformed header
+    bad_depth = bytearray(good)
+    bad_depth[ihdr_off + 8] = 3
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad_depth))
     # an invalid interlace method is a clear error
     inter = bytearray(good)
     inter[ihdr_off + 12] = 2
@@ -222,3 +244,56 @@ def test_image_metrics_end_to_end_real_png(spark):
     assert got["fake"]["decode_ok"]
     assert not got["jpeg"]["decode_ok"] and got["jpeg"]["error"]
     assert "stub" not in got["jpeg"]["error"]  # real decoder, real error
+
+
+def test_decode_all_bit_depths():
+    """Round 5: every legal (depth, color type) combination decodes —
+    sub-byte gray expands to the full 8-bit range, 16-bit reduces to the
+    high byte, palette indices pack/unpack at any legal index depth."""
+    rng = _rng(31)
+    # sub-byte grayscale: exact scaled values, odd widths (partial bytes)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        for (h, w) in ((1, 1), (3, 7), (5, 13), (8, 8)):
+            vals = rng.integers(0, mx + 1, size=(h, w), dtype=np.uint8)
+            got = decode_png(encode_png(vals, 0, depth=depth))
+            assert got[:2] == (w, h)
+            assert np.array_equal(
+                got[2].reshape(h, w), vals * (255 // mx)
+            ), (depth, h, w)
+    # 16-bit gray + RGB: high byte survives, luma matches the 8-bit twin
+    g16 = rng.integers(0, 65536, size=(6, 9), dtype=np.uint16)
+    w_, h_, out = decode_png(encode_png(g16, 0, depth=16))
+    assert (w_, h_) == (9, 6)
+    assert np.array_equal(out.reshape(6, 9), (g16 >> 8).astype(np.uint8))
+    rgb8 = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    rgb16 = rgb8.astype(np.uint16) << 8
+    assert np.array_equal(
+        decode_png(encode_png(rgb16, 2, depth=16))[2],
+        decode_png(encode_png(rgb8, 2))[2],
+    )
+    # sub-byte palette: indices look up PLTE unscaled
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 11), dtype=np.uint8)
+    w2, h2, gray = decode_png(encode_png(idx, 3, depth=4, palette=pal))
+    assert (w2, h2) == (11, 4)
+    lum = np.clip(np.rint(
+        0.299 * pal[idx][..., 0].astype(float)
+        + 0.587 * pal[idx][..., 1].astype(float)
+        + 0.114 * pal[idx][..., 2].astype(float)
+    ), 0, 255).astype(np.uint8)
+    assert np.array_equal(gray.reshape(4, 11), lum)
+    # depths compose with filters and Adam7 interlace
+    bw = rng.integers(0, 2, size=(13, 17), dtype=np.uint8)
+    plain = decode_png(encode_png(bw, 0, depth=1, filters=[0, 2]))[2]
+    laced = decode_png(
+        encode_png(bw, 0, depth=1, filters=[2, 0], interlace=True)
+    )[2]
+    assert np.array_equal(plain, laced)
+    assert np.array_equal(plain.reshape(13, 17), bw * 255)
+    g16b = rng.integers(0, 65536, size=(9, 10), dtype=np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png(g16b, 0, depth=16, filters=[1, 3, 4],
+                              interlace=True))[2].reshape(9, 10),
+        (g16b >> 8).astype(np.uint8),
+    )
