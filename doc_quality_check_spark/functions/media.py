@@ -492,20 +492,26 @@ def decode_y4m(buf: bytes):
             chroma = val
     if not w or not h:
         raise ValueError("Y4M missing W/H")
-    # 8-bit 4:2:0 tags only: C420p10/C420p12 (10/12-bit) have 2-byte samples
-    # and a different plane size — mis-parsing them would silently desync
-    # frames, so they route to the explicit NotImplementedError below
-    if chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
-        csize = (h // 2) * (w // 2) * 2
-    elif chroma == "422":
-        csize = h * (w // 2) * 2
-    elif chroma == "444":
-        csize = h * w * 2
-    elif chroma == "mono":
+    # high-bit-depth tags (C420p10 etc.) carry 2-byte little-endian samples
+    # (ffmpeg/mjpegtools convention); luma reduces to 8 bits for metrics
+    bits = 8
+    base = chroma
+    for suffix, b in (("p10", 10), ("p12", 12), ("p14", 14), ("p16", 16)):
+        if chroma.endswith(suffix):
+            bits, base = b, chroma[: -len(suffix)]
+            break
+    bpsample = 1 if bits == 8 else 2
+    if base in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        csize = (h // 2) * (w // 2) * 2 * bpsample
+    elif base == "422":
+        csize = h * (w // 2) * 2 * bpsample
+    elif base == "444":
+        csize = h * w * 2 * bpsample
+    elif base == "mono":
         csize = 0
     else:
         raise NotImplementedError(f"Y4M chroma mode C{chroma} not supported")
-    ysize = h * w
+    ysize = h * w * bpsample
     frames = []
     pos = nl + 1
     n = len(buf)
@@ -516,11 +522,17 @@ def decode_y4m(buf: bytes):
         pos = fnl + 1
         if pos + ysize + csize > n:
             raise ValueError("truncated Y4M frame")
-        frames.append(
-            np.frombuffer(buf, dtype=np.uint8, count=ysize, offset=pos)
-            .reshape(h, w)
-            .copy()
-        )
+        if bits == 8:
+            plane = np.frombuffer(
+                buf, dtype=np.uint8, count=ysize, offset=pos
+            ).reshape(h, w).copy()
+        else:
+            plane = (
+                np.frombuffer(buf, dtype="<u2", count=h * w, offset=pos)
+                .reshape(h, w)
+                >> (bits - 8)
+            ).astype(np.uint8)
+        frames.append(plane)
         pos += ysize + csize
     if not frames:
         raise ValueError("Y4M stream has no frames")

@@ -389,3 +389,42 @@ def test_stream_validate_windowed_output(spark, tmp_path):
     act = {(r["window"]["start"], r["n_rows"], r["n_invalid"], r["pass_rate"])
            for r in latest.collect()}
     assert act == exp and len(act) >= 3
+
+
+def test_y4m_high_bit_depth_luma():
+    """C420p10/p12 Y4M (round-4 advice follow-through): 2-byte
+    little-endian samples parse with the correct plane sizes and reduce to
+    8-bit luma; frames stay in sync across the stream."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.media import decode_y4m
+
+    h, w = 4, 6
+    rng = np.random.default_rng(8)
+    for bits, tag in ((10, "420p10"), (12, "422p12"), (16, "444p16")):
+        planes16 = [
+            rng.integers(0, 1 << bits, size=(h, w), dtype=np.uint16)
+            for _ in range(3)
+        ]
+        if tag.startswith("420"):
+            cplane = (h // 2) * (w // 2)
+        elif tag.startswith("422"):
+            cplane = h * (w // 2)
+        else:
+            cplane = h * w
+        head = f"YUV4MPEG2 W{w} H{h} F30:1 C{tag}\n".encode()
+        body = bytearray(head)
+        chroma = np.full(cplane, 1 << (bits - 1), dtype="<u2").tobytes()
+        for p in planes16:
+            body += b"FRAME\n" + p.astype("<u2").tobytes() + chroma + chroma
+        ww, hh, fn, fd, frames = decode_y4m(bytes(body))
+        assert (ww, hh, fn, fd) == (w, h, 30, 1)
+        assert len(frames) == 3
+        for got, src in zip(frames, planes16):
+            assert np.array_equal(got, (src >> (bits - 8)).astype(np.uint8))
+    # unknown tags still fail loudly
+    import pytest as _pytest
+
+    bad = b"YUV4MPEG2 W2 H2 F1:1 C411\nFRAME\n" + bytes(6)
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(bad)
