@@ -47,6 +47,7 @@ from pyspark.sql.types import LongType
 from doc_quality_check_spark.functions.audio import _hann, decode_payload
 from doc_quality_check_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
+    auto_hamming_blocks,
     banded_pairs,
     hamming_block_keys,
 )
@@ -150,14 +151,23 @@ def audio_neardup_pairs(
     (sf0.1 events-synthesized corpus, ~1.5k clips): 28.8s → ~4s. The text
     finders default OFF because their signature pass is one cheap
     aggregation; this one is the hot path itself."""
-    # default: the classic one-identical-block scheme (max_hamming+1 blocks,
-    # combination size 1). For large corpora pass a HIGHER n_blocks — e.g.
-    # 10 → C(10,3)=120 keys of ~19 bits — so buckets fill by similarity, not
-    # volume (see dedup.hamming_block_keys; the exact bit_count post-filter
-    # keeps the pair set identical for every n_blocks choice).
-    nb = n_blocks if n_blocks is not None else max_hamming + 1
+    # n_blocks=None AUTO-SIZES the key from the corpus count
+    # (dedup.auto_hamming_blocks): the classic max_hamming+1 blocks for
+    # small corpora, wider combination keys (e.g. 10 blocks → C(10,3)=120
+    # keys of ~19 bits) once 8-bit buckets would fill by volume — where
+    # the hot-bucket guard would otherwise star-reduce true pairs away.
+    # The exact bit_count post-filter keeps the pair set identical for
+    # every adequate n_blocks choice.
     fp = audio_fingerprints(df, id_col, bytes_col, codec_col, frames, bands)
     fp = fp.filter(F.col("afp").isNotNull())
+    # auto stops at 10 blocks (C(10,3)=120 keys ≈ 26M-fingerprint capacity
+    # at the default cap) — combination count grows combinatorially past
+    # that, so larger corpora should pass an explicit n_blocks tuned to
+    # their scale rather than inherit a 1000+-key explode
+    nb = n_blocks if n_blocks is not None else auto_hamming_blocks(
+        df.count(), 64, max_hamming, max_bucket_size,
+        choices=tuple(b for b in (max_hamming + 1, 10) if b > max_hamming),
+    )
     if materialize:
         fp = fp.localCheckpoint(eager=True)
     keys = hamming_block_keys(F.col("afp"), 64, nb, max_hamming)

@@ -574,3 +574,18 @@ def test_hamming_block_keys_validation():
         hamming_block_keys(F.col("x"), 64, 3, 3)
     with pytest.raises(ValueError, match="> 62"):
         hamming_block_keys(F.col("x"), 64, 64, 1)  # 63-bit packed key
+
+
+def test_auto_hamming_blocks_selection():
+    """Auto key sizing: small corpora keep the classic scheme; corpora
+    where 8-bit buckets would fill by volume (measured 17% recall loss at
+    n=100k, BASELINE.md round 5) get wider combination keys."""
+    from doc_quality_check_spark.operators.dedup import auto_hamming_blocks
+
+    # simhash (32 bits, h=3): 8-bit keys safe to 256*100=25.6k docs
+    assert auto_hamming_blocks(5_000, 32, 3, 1000, (4, 6, 8)) == 4
+    assert auto_hamming_blocks(100_000, 32, 3, 1000, (4, 6, 8)) == 6
+    assert auto_hamming_blocks(10_000_000, 32, 3, 1000, (4, 6, 8)) == 8
+    # audio (64 bits, h=7)
+    assert auto_hamming_blocks(20_000, 64, 7, 1000, (8, 10)) == 8
+    assert auto_hamming_blocks(5_000_000, 64, 7, 1000, (8, 10)) == 10
