@@ -67,6 +67,7 @@ class ValidationJob:
         input_files: list[str] | None = None,
         lineage: dict | None = None,
         formats: tuple[str, ...] = ("txt", "html", "json"),
+        quarantine: bool = False,
         _merge_prev: tuple[RunManifest, list[str]] | None = None,
         _revalidate_cids: set[str] | None = None,
     ) -> JobResult:
@@ -318,6 +319,24 @@ class ValidationJob:
                                       suite.name, m.run_id)
             paths[fmt] = write_report(rep_dir, fmt, content, m.run_id, ts)
 
+        if quarantine:
+            # quarantined rows (+ their failed-constraint lists) land as a
+            # reprocessing table next to the run's other result tables; the
+            # clean complement stays a lazy view (split_quarantine) — at
+            # scale rewriting every passing payload is the caller's choice,
+            # not a default
+            from doc_quality_check_spark.suite.report import split_quarantine
+
+            _, bad = split_quarantine(clips, res.violations)
+            q_path = os.path.join(
+                self.out_dir, f"run_{m.run_id:06d}", "quarantine"
+            )
+            bad.write.mode("overwrite").parquet(q_path)
+            m.input_lineage["quarantine"] = {
+                "path": q_path,
+                "n_rows": clips.sparkSession.read.parquet(q_path).count(),
+            }
+            self.manifests.save(m)
         self.manifests.finish_run(m, "complete")
         # every sink is materialized: rebind the result tables to their
         # written parquet so later reads don't depend on the run's caches,
@@ -569,7 +588,7 @@ def main(argv: list[str]) -> None:
         spark-submit --py-files dist/dqcs.zip \\
             doc_quality_check_spark/suite/job.py CLIPS OUT_DIR [SUITE.json]
             [--baseline PATH|latest-green] [--catalog PATH]
-            [--no-payload] [--no-resume] [--suggest-drift]
+            [--no-payload] [--no-resume] [--suggest-drift] [--quarantine]
 
     ``--baseline``: histogram snapshot table (snapshot_histograms layout)
     enabling the suite's drift checks, or the literal ``latest-green`` to
@@ -581,6 +600,9 @@ def main(argv: list[str]) -> None:
     ``--suggest-drift``: profile the input once and print the recommended
     ``{column: bin_width}`` drift spec plus ready-to-paste drift-check JSON
     (suite/suggest.suggest_drift_spec) instead of running the suite.
+    ``--quarantine``: also write the violating rows + their
+    failed-constraint lists as run_<id>/quarantine parquet (the
+    reprocessing table; suite/report.split_quarantine).
     SUITE.json defaults to the built-in default_suite."""
     from doc_quality_check_spark.sources.iceberg import (
         load_clips_table,
@@ -589,7 +611,7 @@ def main(argv: list[str]) -> None:
     from doc_quality_check_spark.suite.spec import CheckSuite
 
     flags = {"--baseline": None, "--catalog": None}
-    payload, resume, suggest_drift = True, True, False
+    payload, resume, suggest_drift, quarantine = True, True, False, False
     pos: list[str] = []
     i = 0
     while i < len(argv):
@@ -607,6 +629,9 @@ def main(argv: list[str]) -> None:
             i += 1
         elif a == "--suggest-drift":
             suggest_drift = True
+            i += 1
+        elif a == "--quarantine":
+            quarantine = True
             i += 1
         else:
             pos.append(a)
@@ -663,6 +688,7 @@ def main(argv: list[str]) -> None:
         resume=resume,
         input_files=[clips_src],
         lineage=snapshot_lineage(spark, clips_src),
+        quarantine=quarantine,
     )
     print(f"run {jr.manifest.run_id} complete; reports: {jr.report_paths}")
 

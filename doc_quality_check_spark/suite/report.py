@@ -165,3 +165,30 @@ def write_report(out_dir: str, fmt: str, content: str, run_id: int,
     with open(path, "w") as fh:
         fh.write(content)
     return path
+
+
+def split_quarantine(
+    clips: DataFrame, violations: DataFrame, id_col: str = "clip_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Partition the validated input into (clean, quarantined) — the
+    training-pipeline follow-through of a validation run: clean rows feed
+    the next stage; quarantined rows carry ``failed_constraints`` (sorted
+    distinct constraint ids) for targeted reprocessing/repair.
+
+    Reference analog: the CLI harness separates readable from unreadable
+    pages into distinct report sections for manual follow-up
+    (/root/reference/test_readability.py:976-1004); at pipeline scale the
+    follow-up is a TABLE, not a listing.
+
+    Plan shape: one groupBy on the (already small relative to the input)
+    violation set + one equi-join and one anti-join on the row id — no
+    payload column ever enters the aggregate side, and AQE handles skew if
+    one clip collects many constraint ids."""
+    per_row = violations.groupBy(F.col(id_col)).agg(
+        F.sort_array(F.collect_set("constraint_id")).alias(
+            "failed_constraints"
+        )
+    )
+    quarantined = clips.join(per_row, id_col, "inner")
+    clean = clips.join(per_row.select(id_col), id_col, "left_anti")
+    return clean, quarantined

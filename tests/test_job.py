@@ -699,3 +699,40 @@ def test_job_cli_suggest_drift(spark, clips_dir, tmp_path, capsys):
     assert "clip_id" not in by_col
     # no suite ran: no manifests / reports were written
     assert not os.path.isdir(os.path.join(out, "manifests"))
+
+
+def test_quarantine_split_and_sink(spark, clips_dir, tmp_path):
+    """split_quarantine partitions the input exactly: quarantined rows
+    carry the sorted failed-constraint list matching the violations table,
+    clean rows have zero violations, and --quarantine lands the
+    reprocessing parquet with its manifest record."""
+    from doc_quality_check_spark.suite.report import split_quarantine
+    from doc_quality_check_spark.suite.spec import default_suite
+
+    clips = load_clips(spark, clips_dir).drop("bytes")
+    job = ValidationJob(default_suite(), str(tmp_path / "q_out"))
+    jr = job.run(clips, payload=False, resume=False, quarantine=True)
+
+    clean, bad = split_quarantine(clips, jr.result.violations)
+    n_in, n_clean, n_bad = clips.count(), clean.count(), bad.count()
+    assert n_in == n_clean + n_bad and n_bad > 0
+    # quarantine lists match the violation table exactly
+    from collections import defaultdict
+
+    want = defaultdict(set)
+    for r in jr.result.violations.select("clip_id", "constraint_id").collect():
+        want[r["clip_id"]].add(r["constraint_id"])
+    got = {r["clip_id"]: r["failed_constraints"] for r in bad.collect()}
+    assert set(got) == set(want)
+    for cid, fcs in got.items():
+        assert fcs == sorted(want[cid])
+    # clean rows really are violation-free
+    assert clean.join(
+        jr.result.violations.select("clip_id").distinct(), "clip_id", "inner"
+    ).count() == 0
+    # the sink landed and the manifest records it
+    q = jr.manifest.input_lineage["quarantine"]
+    assert q["n_rows"] == n_bad
+    disk = spark.read.parquet(q["path"])
+    assert disk.count() == n_bad and "failed_constraints" in disk.columns
+    jr.result.unpersist()
