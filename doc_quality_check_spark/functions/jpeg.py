@@ -10,8 +10,9 @@ format a real training-data table actually carries:
   spectral selection + successive approximation (T.81 Annex G, round 5).
   Returns the LUMA plane — the engine's image metrics (ink ratio, mean
   luma) are luma-only, so chroma blocks are entropy-decoded (the bitstream
-  demands it) but skip IDCT. Arithmetic coding and 12-bit precision raise
-  NotImplementedError → in-band error rows downstream.
+  demands it) but skip IDCT. 12-bit precision decodes too (level shift /
+  clip at the native range, luma reduced to 8 bits); only arithmetic
+  coding raises NotImplementedError → in-band error rows downstream.
 - :func:`encode_jpeg_gray`: a real baseline encoder (forward DCT +
   ITU T.81 Annex K tables) used as the deterministic fixture generator,
   the role ``encode_wav_pcm16`` plays for audio. ``chroma420=True`` wraps
@@ -278,13 +279,20 @@ def _decode_block(
     return coef, pred
 
 
-def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
-    """(N, 64) zigzag-order DEQUANTIZED coefficients → (N, 8, 8) pixels."""
+def _idct_blocks(coefs: np.ndarray, precision: int = 8) -> np.ndarray:
+    """(N, 64) zigzag-order DEQUANTIZED coefficients → (N, 8, 8) pixels.
+    12-bit frames level-shift/clip at their native range, then reduce to
+    the 8-bit luma the metrics consume (>> 4)."""
     blocks = np.zeros((coefs.shape[0], 64), dtype=np.float64)
     blocks[:, ZIGZAG] = coefs
     blocks = blocks.reshape(-1, 8, 8)
     pix = np.einsum("ki,nkl,lj->nij", _A, blocks, _A)
-    return np.clip(np.rint(pix + 128.0), 0, 255).astype(np.uint8)
+    center = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    out = np.clip(np.rint(pix + center), 0, maxv).astype(np.int64)
+    if precision > 8:
+        out >>= precision - 8
+    return out.astype(np.uint8)
 
 
 def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
@@ -302,6 +310,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
     restart_interval = 0
     progressive = False
+    frame_precision = 8
     prog: _ProgState | None = None  # coefficient accumulator across scans
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
@@ -333,7 +342,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 qt[tq_id] = tbl.astype(np.int64)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 progressive
             precision = seg[0]
-            if precision != 8:
+            if precision not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG {precision}-bit precision not supported"
                 )
@@ -344,6 +353,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq_id = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             frame = (w, h, comps)
+            frame_precision = precision
             progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -390,15 +400,16 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 scan.append((byid[cs], huff[(0, tds >> 4)],
                              huff[(1, tds & 0x0F)]))
             return _decode_scan(
-                buf, segend, frame, scan, qt, restart_interval
+                buf, segend, frame, scan, qt, restart_interval,
+                precision=frame_precision,
             )
         pos = segend
     if prog is not None:
-        return _finish_progressive(frame, prog, qt)
+        return _finish_progressive(frame, prog, qt, frame_precision)
     raise ValueError("JPEG has no scan data")
 
 
-def _decode_scan(buf, pos, frame, scan, qt, restart_interval):
+def _decode_scan(buf, pos, frame, scan, qt, restart_interval, precision=8):
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -457,7 +468,7 @@ def _decode_scan(buf, pos, frame, scan, qt, restart_interval):
     tq_id = comps[luma_idx][3]
     q = qt[tq_id][np.newaxis, :]  # zigzag order, same as coefficients
     coefs = np.stack(luma_blocks) * q
-    pix = _idct_blocks(coefs)
+    pix = _idct_blocks(coefs, precision)
 
     # assemble the luma plane
     rows, cols = grid
@@ -680,7 +691,9 @@ def _ac_refine_block(rd, blk, ac_tab, ss, se, al, state):
         state.eobrun -= 1
 
 
-def _finish_progressive(frame, state: _ProgState, qt) -> tuple[int, int, np.ndarray]:
+def _finish_progressive(
+    frame, state: _ProgState, qt, precision: int = 8
+) -> tuple[int, int, np.ndarray]:
     """Dequantize + IDCT the accumulated LUMA coefficients (metrics are
     luma-only, matching the sequential path) and assemble the plane."""
     w, h, comps = frame
@@ -688,7 +701,9 @@ def _finish_progressive(frame, state: _ProgState, qt) -> tuple[int, int, np.ndar
     tq_id = comps[luma_idx][3]
     coefs = state.coef[luma_idx]
     rows, cols = coefs.shape[:2]
-    pix = _idct_blocks(coefs.reshape(-1, 64) * qt[tq_id][np.newaxis, :])
+    pix = _idct_blocks(
+        coefs.reshape(-1, 64) * qt[tq_id][np.newaxis, :], precision
+    )
     plane = (
         pix.reshape(rows, cols, 8, 8)
         .transpose(0, 2, 1, 3)
@@ -750,6 +765,7 @@ def _encode_blocks(
     dc_tab: dict,
     ac_tab: dict,
     restart_interval: int = 0,
+    level: float = 128.0,
 ) -> None:
     """Forward-DCT, quantize, and Huffman-encode an 8-aligned plane in
     raster block order (single-component scan layout; MCU = one block).
@@ -765,7 +781,7 @@ def _encode_blocks(
                 pred = 0
             f = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
                 np.float64
-            ) - 128.0
+            ) - level
             coef = _A @ f @ _A.T
             zz = np.rint(coef.reshape(-1)[ZIGZAG] / q).astype(np.int64)
             pred = _encode_one_block(wr, zz, pred, dc_tab, ac_tab)
@@ -823,6 +839,7 @@ def encode_jpeg_gray(
     quality: int = 90,
     chroma420: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w) uint8 luma plane as a baseline JPEG.
 
@@ -832,10 +849,23 @@ def encode_jpeg_gray(
     exercises a decoder's interleaved/subsampled MCU path.
     ``restart_interval``: emit a DRI segment and RSTn markers every that
     many MCUs (predictors reset, stream byte-aligned) — exercises a
-    decoder's restart path."""
-    plane = np.asarray(pixels, dtype=np.uint8)
-    if plane.ndim != 2:
-        raise ValueError("encode_jpeg_gray expects an (h, w) array")
+    decoder's restart path. ``precision=12`` (grayscale only) takes an
+    (h, w) uint16 plane of 0..4095 samples and writes an extended
+    sequential (SOF1) frame with a 16-bit quant table (base table ×16, so
+    quantized coefficient magnitudes — and thus the Annex-K Huffman range
+    — match the 8-bit case)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        if chroma420:
+            raise ValueError("12-bit fixture encoder is grayscale-only")
+        plane = np.asarray(pixels, dtype=np.uint16)
+        if plane.ndim != 2 or int(plane.max(initial=0)) > 4095:
+            raise ValueError("12-bit encode expects (h, w) samples 0..4095")
+    else:
+        plane = np.asarray(pixels, dtype=np.uint8)
+        if plane.ndim != 2:
+            raise ValueError("encode_jpeg_gray expects an (h, w) array")
     h, w = plane.shape
     # zigzag-reorder once: DQT stores Qk in ZIGZAG order (T.81 B.2.4.1) and
     # the block encoder quantizes zigzag-scanned coefficients, so both
@@ -846,20 +876,26 @@ def encode_jpeg_gray(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy))
+    if precision == 12:
+        qy = qy * 16  # 16-bit table: same quantized magnitudes as 8-bit
+        out += _seg(0xDB, bytes([0x10]) + b"".join(
+            struct.pack(">H", int(v)) for v in qy))
+    else:
+        out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     wr = _BitWriter()
     if not chroma420:
         out += _seg(
-            0xC0,
-            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+            0xC1 if precision == 12 else 0xC0,
+            struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0]),
         )
         out += _dht_seg(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
         out += _dht_seg(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
         out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
         _encode_blocks(wr, _pad_edge(plane, 8), qy, dc_y, ac_y,
-                       restart_interval)
+                       restart_interval,
+                       level=float(1 << (precision - 1)))
     else:
         qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
         out += _seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc))

@@ -271,3 +271,29 @@ def test_jpeg_progressive_property(h, w, seed):
     base = encode_jpeg_gray(img, quality=80)
     assert np.array_equal(decode_jpeg(prog)[2], decode_jpeg(base)[2])
     assert decode_jpeg(prog)[:2] == (w, h)
+
+
+def test_jpeg_12bit_precision():
+    """12-bit extended-sequential (SOF1) JPEGs decode (round 5): native
+    level shift / clip, luma reduced to 8 bits. The fixture encoder writes
+    a 16-bit quant table (base x16) so Annex-K Huffman ranges hold."""
+    rng = np.random.default_rng(5)
+    img8 = _smooth(24, 33)
+    img12 = (img8.astype(np.uint16) << 4) | rng.integers(
+        0, 16, img8.shape, dtype=np.uint16
+    )
+    buf = encode_jpeg_gray(img12, quality=90, precision=12)
+    w, h, luma = decode_jpeg(buf)
+    assert (w, h) == (33, 24)
+    assert _snr_db(img8.reshape(-1), luma) > 40.0
+    # the frame really is SOF1/12-bit on the wire
+    header = buf.split(b"\xff\xda")[0]
+    i = header.find(b"\xff\xc1")
+    assert i > 0 and header[i + 4] == 12
+    # out-of-range samples and unsupported combos fail loudly
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(np.full((8, 8), 5000, np.uint16), precision=12)
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(img12, precision=12, chroma420=True)
+    with pytest.raises(ValueError):
+        encode_jpeg_gray(img8, precision=10)
