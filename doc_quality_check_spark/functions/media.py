@@ -11,17 +11,18 @@ provides the Spark-side plumbing — typed metadata schema, Arrow-batched
   width/height/ink metrics end-to-end.
 - JPEG decodes via :mod:`doc_quality_check_spark.functions.jpeg`
   (from-scratch Huffman + dequant + IDCT; baseline grayscale and YCbCr
-  4:4:4/4:2:2/4:2:0 plus progressive SOF2, restart markers). Arithmetic
-  coding / 12-bit precision raise NotImplementedError → in-band error
-  rows.
+  4:4:4/4:2:2/4:2:0, progressive SOF2, 12-bit SOF1, restart markers).
+  Arithmetic coding raises NotImplementedError → in-band error rows.
 - ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
   deterministic fixture format.
 - VIDEO: YUV4MPEG2 (Y4M) streams decode for real (stdlib parser —
-  ``decode_y4m``/``encode_y4m``); compressed containers (MP4/H.264) stay
-  STUBBED behind an in-band stub error (no codec library exists in this
-  environment); swap ffmpeg into the frame decoder in production — the
-  Spark plan (schema, partitioning, per-batch decode, bytes-column
-  pruning) does not change.
+  ``decode_y4m``/``encode_y4m``), and so does COMPRESSED video via
+  MJPEG-in-AVI (``decode_avi_mjpeg`` — RIFF container parse + the real
+  JPEG codec, sampled frames only). Inter-frame codecs (H.264/VP9 in
+  MP4/WebM) stay STUBBED behind an in-band stub error (they need a
+  motion-compensation decoder no stdlib provides); swap ffmpeg into the
+  frame decoder in production — the Spark plan (schema, partitioning,
+  per-batch decode, bytes-column pruning) does not change.
 
 Reference parity: payload decode + per-page metrics is exactly the shape of
 /root/reference/utils/document_processor.py:92-207 (extract_page_data) —
@@ -307,9 +308,9 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
 
 
 def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """bytes → (width, height, grayscale array). PNG (incl. Adam7) and
-    JPEG (baseline + progressive) are real from-scratch decoders;
-    arithmetic-coded / 12-bit JPEG and 16-bit PNG raise
+    """bytes → (width, height, grayscale array). PNG (all legal depths,
+    incl. Adam7) and JPEG (baseline + progressive + 12-bit) are real
+    from-scratch decoders; arithmetic-coded JPEG raises
     NotImplementedError (in-band error row downstream)."""
     if buf is None or len(buf) == 0:
         return 0, 0, np.zeros(0, dtype=np.uint8)  # empty-input default row
@@ -539,6 +540,143 @@ def decode_y4m(buf: bytes):
     return w, h, fn, fd, frames
 
 
+# ---------------------------------------------------------------------------
+# compressed video: Motion-JPEG in an AVI (RIFF) container
+#
+# MJPEG-AVI is the classic compressed interchange format every camera /
+# capture tool can emit (Microsoft RIFF AVI spec + one JPEG per '00dc'
+# chunk). Because functions/jpeg.py is a real from-scratch JPEG codec, the
+# engine can decode this COMPRESSED container with zero codec libraries —
+# and, unlike Y4M, the container is indexed: frame sampling decodes ONLY
+# the sampled chunks, so cost scales with samples, not stream length.
+# Inter-frame codecs (H.264/VP9 in MP4/WebM) remain declared stubs: they
+# need a motion-compensation decoder no stdlib provides.
+
+AVI_MAGIC = b"RIFF"
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over a RIFF chunk run.
+    Chunks are word-aligned: a chunk with odd size carries one pad byte."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi_mjpeg(
+    frames: list, fps: tuple[int, int] = (25, 1), quality: int = 90
+) -> bytes:
+    """Minimal AVI/MJPEG writer: (h, w) uint8 luma planes → a RIFF AVI
+    whose '00dc' chunks are real baseline JPEGs (grayscale, via
+    :func:`jpeg.encode_jpeg_gray`). The compressed-video twin of
+    :func:`encode_y4m`; deterministic, so usable as a test fixture."""
+    from doc_quality_check_spark.functions.jpeg import encode_jpeg_gray
+
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    h, w = np.asarray(frames[0]).shape
+    fn, fd = fps
+    jpegs = []
+    for f in frames:
+        p = np.asarray(f, dtype=np.uint8)
+        if p.shape != (h, w):
+            raise ValueError("all AVI frames must share one size")
+        jpegs.append(encode_jpeg_gray(p, quality=quality))
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    usec_per_frame = int(round(1_000_000 * fd / fn))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame, 0, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max(map(len, jpegs)), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4h", 0, 0, 0, 0, fd, fn, 0,
+                      len(frames), max(map(len, jpegs)), -1, 0,
+                      0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+    # idx1 offsets are relative to the first byte of the 'movi' fourcc
+    idx = bytearray()
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(buf: bytes):
+    """Parse an AVI container → (width, height, fps_num, fps_den,
+    [per-frame JPEG bytes]). Container-only pass: the returned chunks
+    decode lazily via :func:`jpeg.decode_jpeg`, so a caller sampling k of
+    n frames pays k JPEG decodes. Non-MJPEG video streams raise
+    NotImplementedError → in-band error rows downstream."""
+    if buf[:4] != AVI_MAGIC or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    n = min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
+    w = h = None
+    fn, fd = 25, 1
+    handler = None
+    frames: list[bytes] = []
+    for fourcc, start, size in _riff_chunks(buf, 12, n):
+        if start + size > n:
+            raise ValueError("truncated AVI chunk")
+        if fourcc != b"LIST":
+            continue
+        listtype = buf[start : start + 4]
+        if listtype == b"hdrl":
+            for cc, s, sz in _riff_chunks(buf, start + 4, start + size):
+                if cc == b"avih" and sz >= 40:
+                    _, _, _, _, _, _, _, _, w, h = struct.unpack_from(
+                        "<10I", buf, s
+                    )
+                elif cc == b"LIST" and buf[s : s + 4] == b"strl":
+                    for c2, s2, sz2 in _riff_chunks(buf, s + 4, s + sz):
+                        if c2 == b"strh" and sz2 >= 36:
+                            if buf[s2 : s2 + 4] != b"vids":
+                                continue
+                            handler = buf[s2 + 4 : s2 + 8]
+                            scale, rate = struct.unpack_from(
+                                "<II", buf, s2 + 20
+                            )
+                            if scale and rate:
+                                fn, fd = rate, scale
+        elif listtype == b"movi":
+            for cc, s, sz in _riff_chunks(buf, start + 4, start + size):
+                # '00dc'/'00db' = stream-0 compressed/uncompressed frame
+                if cc[2:] in (b"dc", b"db"):
+                    frames.append(buf[s : s + sz])
+    if handler not in (b"MJPG", b"mjpg", b"dmb1"):
+        raise NotImplementedError(
+            f"AVI video codec {handler!r} not supported (only MJPG; "
+            "inter-frame codecs need a motion-compensation decoder)"
+        )
+    if not w or not h:
+        raise ValueError("AVI missing frame dimensions")
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return int(w), int(h), fn, fd, frames
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),
@@ -562,15 +700,20 @@ def video_frame_sample(
     every_ms: int = 1000,
 ) -> DataFrame:
     """Frame sampling over a video-bytes column, one row per sampled
-    timestamp. YUV4MPEG2 payloads decode FOR REAL (:func:`decode_y4m`):
-    the sampled frame's luma stats and real dimensions come back,
-    timestamps derive from the stream's own fps, and a corrupt stream is
-    an in-band error row. Compressed containers (MP4/H.264 etc.) remain
-    stubbed — rows carry decode_ok=false + a stub error from the declared
-    metadata fan-out, but the shape, schema, and batch discipline are the
+    timestamp. YUV4MPEG2 payloads decode FOR REAL (:func:`decode_y4m`),
+    and so do COMPRESSED MJPEG-AVI payloads (:func:`decode_avi_mjpeg` +
+    the real JPEG codec — only the sampled chunks are JPEG-decoded, so a
+    1-fps sample over a 30-fps stream pays 1/30th of the decode): the
+    sampled frame's luma stats and real dimensions come back, timestamps
+    derive from the stream's own fps, and a corrupt stream is an in-band
+    error row. Inter-frame containers (MP4/H.264 etc.) remain stubbed —
+    rows carry decode_ok=false + a stub error from the declared metadata
+    fan-out, but the shape, schema, and batch discipline are the
     production ones (swap ffmpeg into the Y4M branch's place)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_quality_check_spark.functions.jpeg import decode_jpeg
+
         for pdf in batches:
             out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
 
@@ -605,12 +748,32 @@ def video_frame_sample(
                     except Exception as exc:  # in-band error row
                         emit(mid, 0, 0.0, False, None, None, None, str(exc))
                     continue
+                if b[:4] == AVI_MAGIC and b[8:12] == b"AVI ":
+                    try:
+                        w, h, fn, fd, chunks = decode_avi_mjpeg(b)
+                        frame_ms = 1000.0 * fd / fn
+                        total_ms = len(chunks) * frame_ms
+                        n = max(1, int(total_ms) // every_ms)
+                        for i in range(n):
+                            t = float(i * every_ms)
+                            fi = min(int(t / frame_ms), len(chunks) - 1)
+                            # indexed container: decode ONLY this frame
+                            _w, _h, luma = decode_jpeg(chunks[fi])
+                            emit(mid, fi, t, True, w, h,
+                                 float(np.asarray(luma).mean()), None)
+                    except NotImplementedError as exc:
+                        emit(mid, 0, 0.0, False, None, None, None,
+                             f"stub: {exc}")
+                    except Exception as exc:  # in-band error row
+                        emit(mid, 0, 0.0, False, None, None, None, str(exc))
+                    continue
                 n = max(1, int(dur) // every_ms) if dur and dur > 0 else 1
                 for i in range(n):
                     emit(mid, i, float(i * every_ms), False, None, None,
                          None,
-                         "stub: compressed video decode requires ffmpeg/av, "
-                         "absent in this environment")
+                         "stub: inter-frame video codecs (H.264/VP9) need "
+                         "a motion-compensation decoder; only Y4M and "
+                         "MJPEG-AVI decode in this environment")
             o = pd.DataFrame(out)
             # nullable dtypes keep None as NULL through the Arrow cast
             o["width"] = pd.array(out["width"], dtype="Int32")

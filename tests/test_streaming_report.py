@@ -314,6 +314,78 @@ def test_video_frame_sample_fanout(spark):
     assert not v4["decode_ok"] and not v4["error"].startswith("stub:")
 
 
+def test_video_frame_sample_avi_mjpeg(spark):
+    """COMPRESSED video decodes for real: MJPEG-in-AVI payloads go through
+    the RIFF container parse + the from-scratch JPEG codec; only the
+    sampled chunks decode. Non-MJPG AVI codecs stay declared stubs;
+    corrupt containers are in-band errors."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.media import encode_avi_mjpeg
+
+    frames = [np.full((16, 24), v, dtype=np.uint8)
+              for v in (10, 60, 110, 160, 210)]
+    avi = encode_avi_mjpeg(frames, fps=(2, 1))  # 2 fps -> 2500 ms of video
+    fake264 = bytearray(encode_avi_mjpeg(frames[:1]))
+    i = bytes(fake264).index(b"MJPG")
+    fake264[i : i + 4] = b"H264"  # strh handler (first MJPG occurrence)
+    df = spark.createDataFrame(
+        [("a1", avi, 0),                       # dur_ms meta ignored for AVI
+         ("a2", avi[:60], 0),                  # truncated container
+         ("a3", bytes(fake264), 0)],           # inter-frame codec -> stub
+        "media_id string, bytes binary, dur_ms int",
+    )
+    rows = video_frame_sample(df, every_ms=1000).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+
+    a1 = sorted(per["a1"], key=lambda r: r["t_ms"])
+    assert [r["decode_ok"] for r in a1] == [True, True]
+    # 2500 ms @ every_ms=1000 -> samples at t=0 (frame 0) and t=1000 (frame 2)
+    assert [(r["frame_idx"], r["t_ms"]) for r in a1] == [(0, 0.0), (2, 1000.0)]
+    assert (a1[0]["width"], a1[0]["height"]) == (24, 16)
+    # flat frames survive JPEG quantization exactly (DC-only blocks)
+    assert abs(a1[0]["luma_mean"] - 10.0) < 1.0
+    assert abs(a1[1]["luma_mean"] - 110.0) < 1.0
+    a2 = per["a2"][0]
+    assert not a2["decode_ok"] and not a2["error"].startswith("stub:")
+    a3 = per["a3"][0]
+    assert not a3["decode_ok"] and a3["error"].startswith("stub:")
+    assert "H264" in a3["error"]
+
+
+def test_avi_mjpeg_roundtrip_snr():
+    """Container-level invariant (no Spark): every frame of an encoded AVI
+    comes back at the JPEG codec's fidelity (SNR >= 30 dB, the north
+    rule's payload-decode bar), with fps carried by strh dwRate/dwScale."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.jpeg import decode_jpeg
+    from doc_quality_check_spark.functions.media import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = []
+    for i in range(4):
+        y = (np.linspace(0, 200, 24)[:, None]
+             + np.linspace(0, 40, 40)[None, :] + i * 5)
+        frames.append(np.clip(y, 0, 255).astype(np.uint8))
+    avi = encode_avi_mjpeg(frames, fps=(30000, 1001), quality=90)  # NTSC
+    w, h, fn, fd, chunks = decode_avi_mjpeg(avi)
+    assert (w, h, fn, fd, len(chunks)) == (40, 24, 30000, 1001, 4)
+    for src, chunk in zip(frames, chunks):
+        ww, hh, luma = decode_jpeg(chunk)
+        assert (ww, hh) == (40, 24)
+        s = src.astype(np.float64).ravel()
+        d = luma.astype(np.float64)
+        snr = 10 * np.log10(
+            np.mean(s**2) / max(np.mean((s - d) ** 2), 1e-12)
+        )
+        assert snr >= 30.0
+
+
 def test_escalated_confidence_consistency(spark, clips_dir):
     """Escalation must agree with the full pass on which clips are
     low-confidence, and must not escalate healthy clips."""
