@@ -7,12 +7,15 @@ format a real training-data table actually carries:
 - :func:`decode_jpeg`: baseline sequential DCT (SOF0/SOF1), grayscale and
   YCbCr with any sampling factors (4:4:4 / 4:2:2 / 4:2:0), interleaved and
   single-component scans, restart markers — AND progressive (SOF2) with
-  spectral selection + successive approximation (T.81 Annex G, round 5).
-  Returns the LUMA plane — the engine's image metrics (ink ratio, mean
-  luma) are luma-only, so chroma blocks are entropy-decoded (the bitstream
-  demands it) but skip IDCT. 12-bit precision decodes too (level shift /
-  clip at the native range, luma reduced to 8 bits); only arithmetic
-  coding raises NotImplementedError → in-band error rows downstream.
+  spectral selection + successive approximation (T.81 Annex G, round 5) —
+  AND extended sequential ARITHMETIC (SOF9, the Annex D QM-coder +
+  Annex F decision models in :mod:`jpeg_arith`, round 5). Returns the
+  LUMA plane — the engine's image metrics (ink ratio, mean luma) are
+  luma-only, so chroma blocks are entropy-decoded (the bitstream demands
+  it) but skip IDCT. 12-bit precision decodes too (level shift / clip at
+  the native range, luma reduced to 8 bits); only progressive-arithmetic
+  (SOF10) and lossless/hierarchical modes raise NotImplementedError →
+  in-band error rows downstream.
 - :func:`encode_jpeg_gray`: a real baseline encoder (forward DCT +
   ITU T.81 Annex K tables) used as the deterministic fixture generator,
   the role ``encode_wav_pcm16`` plays for audio. ``chroma420=True`` wraps
@@ -310,6 +313,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     frame = None  # (w, h, [(comp_id, hi, vi, tq), ...])
     restart_interval = 0
     progressive = False
+    arithmetic = False
+    conditioning: dict = {}  # DAC: ('dc',id)->(L,U), ('ac',id)->Kx
     frame_precision = 8
     prog: _ProgState | None = None  # coefficient accumulator across scans
     while pos + 4 <= n:
@@ -340,7 +345,9 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     ).astype(np.int64)
                     i += 128
                 qt[tq_id] = tbl.astype(np.int64)
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0 baseline / SOF1 extended / SOF2 progressive (Huffman)
+            # / SOF9 extended sequential (arithmetic, Annex D+F coder)
             precision = seg[0]
             if precision not in (8, 12):
                 raise NotImplementedError(
@@ -355,11 +362,23 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
             frame = (w, h, comps)
             frame_precision = precision
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            arithmetic = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type 0x{marker:02X} not supported"
+                f"JPEG frame type 0x{marker:02X} not supported "
+                "(progressive-arithmetic / lossless / hierarchical)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                cs = seg[i + 1]
+                if tc == 0:
+                    conditioning[("dc", tb)] = (cs & 0x0F, cs >> 4)
+                else:
+                    conditioning[("ac", tb)] = cs
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -394,6 +413,19 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
                 )
                 continue
+            if arithmetic:
+                from doc_quality_check_spark.functions.jpeg_arith import (
+                    decode_arith_scan,
+                )
+
+                scan_comps = []
+                for s in range(ns):
+                    cs, tds = seg[1 + 2 * s : 3 + 2 * s]
+                    scan_comps.append((byid[cs], tds >> 4, tds & 0x0F))
+                return decode_arith_scan(
+                    buf, segend, frame, scan_comps, conditioning,
+                    restart_interval, qt, frame_precision, _idct_blocks,
+                )
             scan = []  # (comp_index, dc_table, ac_table)
             for s in range(ns):
                 cs, tds = seg[1 + 2 * s : 3 + 2 * s]
@@ -499,9 +531,10 @@ def _decode_scan(buf, pos, frame, scan, qt, restart_interval, precision=8):
 
 # ---------------------------------------------------------------------------
 # progressive decoding (T.81 Annex G: spectral selection + successive
-# approximation, Huffman entropy coding; arithmetic coding stays
-# NotImplementedError). Control flow mirrors libjpeg's jdphuff.c — the
-# publicly documented reference decoder for the refinement bit protocol.
+# approximation, Huffman entropy coding; sequential ARITHMETIC lives in
+# jpeg_arith.py, progressive-arithmetic stays NotImplementedError).
+# Control flow mirrors libjpeg's jdphuff.c — the publicly documented
+# reference decoder for the refinement bit protocol.
 
 
 class _ProgState:

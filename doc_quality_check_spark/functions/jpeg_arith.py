@@ -1,0 +1,664 @@
+"""Arithmetic-coded JPEG (SOF9): the T.81 Annex D QM-coder + the Annex F
+sequential DCT decision models, from scratch (stdlib + numpy).
+
+This closes the engine's last JPEG entropy-coding gap: baseline/extended
+Huffman (jpeg.py), progressive Huffman (Annex G, jpeg.py), and now
+extended sequential ARITHMETIC (SOF9). Progressive-arithmetic (SOF10) and
+the lossless/hierarchical modes remain declared NotImplementedError — they
+are vanishingly rare and need different decision models.
+
+Design notes (all public knowledge — ITU-T T.81 Annexes D and F):
+
+- The QM-coder is a binary arithmetic coder with renormalization-driven
+  probability adaptation: Table D.3's 113 (Qe, NMPS, NLPS, SWITCH) rows
+  below, plus one extra self-looping row used as the spec's non-adaptive
+  "fixed 0.5" bin for AC sign decisions. Each statistics bin is one byte:
+  low 7 bits = table index, high bit = current MPS sense.
+- Interval discipline (Figures D.4/D.10/D.13-D.17): MPS owns the bottom
+  subinterval [0, A-Qe), LPS the top [A-Qe, A), with conditional exchange
+  when A-Qe < Qe so the more-probable symbol always keeps the larger
+  subinterval; adaptation happens only on renormalization (A < 0x8000).
+- Byte I/O: the code stream is the MSB-first binary expansion of the
+  chosen codepoint; 0xFF data bytes are stuffed with a following 0x00
+  (T.81 D.1.6), and a marker (0xFF followed by non-zero) legally
+  terminates the entropy segment early — the decoder then feeds zero data
+  until the scan completes (the encoder's FLUSH discards what a decoder
+  can reconstruct as zeros). Carry propagation uses the classic
+  pending-byte + 0xFF-stack resolution.
+- Decision models (Figures F.19-F.24, Tables F.4/F.5): DC uses a 64-bin
+  statistics area per table (5 conditioning categories x 4 decision bins,
+  X1..X15 magnitude-category tree at offset 20, shared magnitude-bit bins
+  at +14), conditioned on the previous block's diff classified by the
+  DAC L/U bounds (defaults 0/1). AC uses a 256-bin area: 3 bins per
+  coefficient index (EOB / zero-run / SP-SN+X1), the X2+ tree split at
+  offset 189 vs 217 by the DAC Kx threshold (default 5), and the fixed
+  half-probability bin for signs.
+
+Conformance caveat, stated honestly: this environment has no arithmetic-
+capable JPEG decoder or ITU test stream to cross-validate against (PIL is
+absent, and stock libjpeg builds ship with arithmetic disabled), so the
+pinned gates are structural: encoder<->decoder bit-roundtrip, EXACT
+pixel equality with the Huffman codec on the same quantized coefficients
+(entropy coding is lossless, so decode(arith(img)) == decode(huff(img))
+bit-for-bit), restart-marker resets, and compression sanity (the adaptive
+coder beats the fixed Huffman tables on typical planes).
+
+Reference parity: the reference accepts whatever PIL decodes
+(/root/reference/utils/document_processor.py:92-120); nothing to copy —
+built from the public JPEG spec (ITU T.81).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Table D.3: Qe values and the probability-estimation state machine.
+# (Qe, Next-Index-MPS, Next-Index-LPS, Switch-MPS). Row 113 is the
+# non-adaptive fixed-probability bin (self-looping, used for AC signs).
+
+QE_TABLE: list[tuple[int, int, int, int]] = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # fixed 0.5 bin (non-adaptive, AC signs)
+]
+
+FIXED_BIN = 113
+DC_STAT_BINS = 64
+AC_STAT_BINS = 256
+
+
+class ArithDecoder:
+    """QM decoder over one entropy-coded segment.
+
+    Register model: ``a`` is the current interval (renormalized into
+    [0x8000, 0x10000)); ``d`` is the code offset within it (the code
+    stream's binary expansion minus the accumulated interval base, kept at
+    the same scale as ``a`` — one new code bit shifts in per
+    renormalization). Comparisons are exact: the unfed tail of the stream
+    is a fraction < 1, so integer compares of ``d`` against subinterval
+    sizes match the infinite-precision decisions."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.marker: int | None = None  # marker byte that ended the data
+        self._byte = 0
+        self._nbits = 0
+        self.a = 0x10000
+        self.d = 0
+        for _ in range(16):
+            self.d = (self.d << 1) | self._next_bit()
+
+    def _next_bit(self) -> int:
+        if self._nbits == 0:
+            self._byte = self._next_byte()
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._byte >> self._nbits) & 1
+
+    def _next_byte(self) -> int:
+        if self.marker is not None:
+            return 0  # zero data after a marker (T.81 D.2.6)
+        buf, n = self.buf, len(self.buf)
+        if self.pos >= n:
+            self.marker = 0xD9  # treat EOF as EOI
+            return 0
+        b = buf[self.pos]
+        self.pos += 1
+        if b != 0xFF:
+            return b
+        # 0xFF: either a stuffed data byte (0xFF 0x00) or a marker
+        while self.pos < n and buf[self.pos] == 0xFF:
+            self.pos += 1  # fill bytes before a marker (B.1.1.2)
+        nxt = buf[self.pos] if self.pos < n else 0xD9
+        if nxt == 0x00:
+            self.pos += 1
+            return 0xFF
+        self.marker = nxt
+        self.pos += 1 if self.pos < n else 0
+        return 0
+
+    def decode(self, states: bytearray, i: int) -> int:
+        s = states[i]
+        qe, nmps, nlps, sw = QE_TABLE[s & 0x7F]
+        mps = s >> 7
+        a1 = self.a - qe
+        if self.d < a1:
+            if a1 & 0x8000:
+                self.a = a1
+                return mps
+            # bottom subinterval needs renorm -> adapt (MPS unless exchange)
+            if a1 < qe:
+                bit = 1 - mps
+                if sw:
+                    mps = bit
+                states[i] = (mps << 7) | nlps
+            else:
+                bit = mps
+                states[i] = (mps << 7) | nmps
+            self.a = a1
+        else:
+            self.d -= a1
+            if a1 < qe:  # conditional exchange: top subinterval is MPS
+                bit = mps
+                states[i] = (mps << 7) | nmps
+            else:
+                bit = 1 - mps
+                if sw:
+                    mps = bit
+                states[i] = (mps << 7) | nlps
+            self.a = qe
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.d = (self.d << 1) | self._next_bit()
+        return bit
+
+    def restart(self, expected: int) -> None:
+        """Consume the next RSTn marker and re-initialize the code
+        registers (statistics resets are the caller's job: they span
+        multiple stats areas)."""
+        if self.marker is None:
+            # entropy data is byte-aligned at restarts; the marker must be
+            # the next non-data thing — drain until we see it
+            while self.marker is None:
+                self._next_byte()
+        m = self.marker
+        if m != 0xD0 + (expected & 7):
+            raise ValueError(
+                f"expected RST{expected & 7}, found marker 0x{m:02X}"
+            )
+        self.marker = None
+        self._byte = 0
+        self._nbits = 0
+        self.a = 0x10000
+        self.d = 0
+        for _ in range(16):
+            self.d = (self.d << 1) | self._next_bit()
+
+
+class ArithEncoder:
+    """QM encoder, exactly symmetric to :class:`ArithDecoder` (same
+    subinterval layout and exchange rules). Output discipline per
+    T.81 D.1.8: bytes leave from C bits 19..26 every 8 renorm shifts
+    (initial CT=11), carries resolve into a pending byte + stacked-0xFF
+    run, and every emitted 0xFF data byte is stuffed with 0x00."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self._buffer: int | None = None  # pending byte (carry target)
+        self._sc = 0  # run of pending 0xFF bytes
+        self.out = bytearray()
+
+    def _emit(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)  # byte stuffing (D.1.6)
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            if self._buffer is None:
+                raise ValueError("arithmetic coder carry before any byte")
+            self._emit(self._buffer + 1)  # carry (buffer < 0xFF by constr.)
+            while self._sc:
+                self._emit(0x00)  # carried-through 0xFFs wrap to 0x00
+                self._sc -= 1
+            self._buffer = t & 0xFF
+        elif t == 0xFF:
+            self._sc += 1  # defer: a later carry may still hit it
+        else:
+            if self._buffer is not None:
+                self._emit(self._buffer)
+            while self._sc:
+                self._emit(0xFF)
+                self._sc -= 1
+            self._buffer = t
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+
+    def code(self, states: bytearray, i: int, bit: int) -> None:
+        s = states[i]
+        qe, nmps, nlps, sw = QE_TABLE[s & 0x7F]
+        mps = s >> 7
+        a1 = self.a - qe
+        if bit == mps:
+            if a1 & 0x8000:
+                self.a = a1
+                return
+            if a1 < qe:  # conditional exchange: MPS takes the top
+                self.c += a1
+                self.a = qe
+            else:
+                self.a = a1
+            states[i] = (mps << 7) | nmps
+        else:
+            if a1 < qe:  # conditional exchange: LPS takes the bottom
+                self.a = a1
+            else:
+                self.c += a1
+                self.a = qe
+            if sw:
+                mps = 1 - mps
+            states[i] = (mps << 7) | nlps
+        self._renorm()
+
+    def flush(self) -> bytes:
+        """T.81 D.1.8.2: point C at the cheapest codepoint in the final
+        interval (CLEARBITS), drain the register, and hand back the bytes
+        emitted since construction/last flush."""
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        if self._buffer is not None:
+            self._emit(self._buffer)
+            self._buffer = None
+        while self._sc:
+            self._emit(0xFF)
+            self._sc -= 1
+        out = bytes(self.out)
+        self.out = bytearray()
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Annex F sequential DCT decision models
+
+
+class _DCModel:
+    """Per-(table, component) DC state: statistics area per table id,
+    predictor + conditioning context per component."""
+
+    def __init__(self, ncomp: int):
+        self.stats: dict[int, bytearray] = {}
+        self.pred = [0] * ncomp
+        self.ctx = [0] * ncomp
+
+    def area(self, tbl: int) -> bytearray:
+        if tbl not in self.stats:
+            self.stats[tbl] = bytearray(DC_STAT_BINS)
+        return self.stats[tbl]
+
+    def reset(self) -> None:
+        for a in self.stats.values():
+            a[:] = bytes(len(a))
+        self.pred = [0] * len(self.pred)
+        self.ctx = [0] * len(self.ctx)
+
+
+def _dc_category(m: int, sign: int, lo: int, up: int) -> int:
+    """F.1.4.4.1.2: conditioning category of this block's diff for the
+    NEXT block's DC decisions. ``m`` is the decoded magnitude category
+    (0 or 2^t); L/U come from the DAC marker (defaults 0/1). Note the
+    diff==0 case never reaches here (context set to 0 directly)."""
+    if m < ((1 << lo) >> 1):
+        return 0  # below-L: treated as the zero-diff category
+    if m > ((1 << up) >> 1):
+        return 12 + sign * 4  # large diff
+    return 4 + sign * 4  # small diff
+
+
+def _decode_dc_diff(dec: ArithDecoder, dc: _DCModel, ci: int, tbl: int,
+                    lo: int, up: int) -> int:
+    st = dc.area(tbl)
+    base = dc.ctx[ci]
+    if dec.decode(st, base) == 0:
+        dc.ctx[ci] = 0
+        return 0
+    sign = dec.decode(st, base + 1)
+    m = dec.decode(st, base + 2 + sign)
+    pos = base + 2 + sign
+    if m:
+        pos = 20  # X1
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            pos += 1
+    dc.ctx[ci] = _dc_category(m, sign, lo, up)
+    v = m
+    pos += 14  # magnitude-bit bin for this category
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        if dec.decode(st, pos):
+            v |= mm
+    v += 1
+    return -v if sign else v
+
+
+def _encode_dc_diff(enc: ArithEncoder, dc: _DCModel, ci: int, tbl: int,
+                    diff: int, lo: int, up: int) -> None:
+    st = dc.area(tbl)
+    base = dc.ctx[ci]
+    if diff == 0:
+        enc.code(st, base, 0)
+        dc.ctx[ci] = 0
+        return
+    enc.code(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.code(st, base + 1, sign)
+    v = (-diff if sign else diff) - 1
+    pos = base + 2 + sign
+    if v == 0:
+        enc.code(st, pos, 0)
+        m = 0
+    else:
+        enc.code(st, pos, 1)
+        t = v.bit_length() - 1
+        pos = 20
+        for _ in range(t):
+            enc.code(st, pos, 1)
+            pos += 1
+        enc.code(st, pos, 0)
+        m = 1 << t
+    dc.ctx[ci] = _dc_category(m, sign, lo, up)
+    pos += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.code(st, pos, 1 if v & mm else 0)
+
+
+def _decode_ac_block(dec: ArithDecoder, st: bytearray, fixed: bytearray,
+                     kx: int, zz: np.ndarray) -> None:
+    """Decode AC coefficients 1..63 of one block into ``zz`` (zigzag)."""
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            return
+        while dec.decode(st, base + 1) == 0:  # zero at this k
+            base += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC run past block end")
+        sign = dec.decode(fixed, 0)
+        pos = base + 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):  # X1 shares the SP/SN bin (Table F.5)
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(st, pos):
+                v |= mm
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+def _encode_ac_block(enc: ArithEncoder, st: bytearray, fixed: bytearray,
+                     kx: int, zz: np.ndarray) -> None:
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    k = 1
+    while k <= last:
+        base = 3 * (k - 1)
+        enc.code(st, base, 0)  # not EOB
+        while zz[k] == 0:
+            enc.code(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.code(st, base + 1, 1)
+        coef = int(zz[k])
+        sign = 1 if coef < 0 else 0
+        enc.code(fixed, 0, sign)
+        v = (-coef if sign else coef) - 1
+        pos = base + 2
+        if v == 0:
+            enc.code(st, pos, 0)
+            m = 0
+        else:
+            enc.code(st, pos, 1)
+            t = v.bit_length() - 1
+            if t == 0:
+                enc.code(st, pos, 0)  # X1 false (same bin)
+                m = 1
+            else:
+                enc.code(st, pos, 1)  # X1 true
+                pos = 189 if k <= kx else 217
+                for _ in range(t - 1):
+                    enc.code(st, pos, 1)
+                    pos += 1
+                enc.code(st, pos, 0)
+                m = 1 << t
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.code(st, pos, 1 if v & mm else 0)
+        k += 1
+    if last < 63:
+        enc.code(st, 3 * (last + 1 - 1), 1)  # EOB at the next position
+
+
+def decode_arith_scan(buf, pos, frame, scan_comps, conditioning,
+                      restart_interval, qt, precision, idct_blocks):
+    """Decode one SOF9 (extended sequential, arithmetic) scan and return
+    (width, height, luma plane) — the arithmetic twin of jpeg._decode_scan.
+
+    ``scan_comps``: [(comp_index, dc_table_id, ac_table_id), ...] in scan
+    order. ``conditioning``: {('dc', id): (L, U), ('ac', id): Kx}.
+    ``idct_blocks``: jpeg._idct_blocks (passed in to avoid circular
+    imports)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dec = ArithDecoder(buf, pos)
+    dc = _DCModel(len(comps))
+    ac_stats: dict[int, bytearray] = {}
+    fixed = bytearray([FIXED_BIN])
+    luma_idx = 0
+    luma_blocks: list[np.ndarray] = []
+
+    def cond_dc(tid):
+        return conditioning.get(("dc", tid), (0, 1))
+
+    def cond_ac(tid):
+        return conditioning.get(("ac", tid), 5)
+
+    def ac_area(tid):
+        if tid not in ac_stats:
+            ac_stats[tid] = bytearray(AC_STAT_BINS)
+        return ac_stats[tid]
+
+    def reset_all():
+        dc.reset()
+        for a in ac_stats.values():
+            a[:] = bytes(len(a))
+
+    def one_block(ci, td, ta):
+        zz = np.zeros(64, dtype=np.int64)
+        lo, up = cond_dc(td)
+        dc.pred[ci] += _decode_dc_diff(dec, dc, ci, td, lo, up)
+        zz[0] = dc.pred[ci]
+        _decode_ac_block(dec, ac_area(ta), fixed, cond_ac(ta), zz)
+        if ci == luma_idx:
+            luma_blocks.append(zz)
+
+    if len(scan_comps) == 1:
+        ci, td, ta = scan_comps[0]
+        _, hi, vi, _tq = comps[ci]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        bx, by = -(-cw // 8), -(-ch // 8)
+        for u in range(bx * by):
+            if restart_interval and u and u % restart_interval == 0:
+                dec.restart(u // restart_interval - 1)
+                reset_all()
+            one_block(ci, td, ta)
+        grid = (by, bx)
+        y_hi = y_vi = 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                dec.restart(m // restart_interval - 1)
+                reset_all()
+            for ci, td, ta in scan_comps:
+                _, hi, vi, _tq = comps[ci]
+                for _v in range(vi):
+                    for _h in range(hi):
+                        one_block(ci, td, ta)
+        grid = (mcuy, mcux)
+        y_hi, y_vi = comps[luma_idx][1], comps[luma_idx][2]
+
+    if not luma_blocks:
+        raise NotImplementedError(
+            "arithmetic multi-scan with a non-luma first scan not supported"
+        )
+    tq_id = comps[luma_idx][3]
+    q = qt[tq_id][np.newaxis, :]
+    coefs = np.stack(luma_blocks) * q
+    pix = idct_blocks(coefs, precision)
+    rows, cols = grid
+    if len(scan_comps) == 1:
+        plane = (
+            pix.reshape(rows, cols, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows * 8, cols * 8)
+        )
+    else:
+        plane = (
+            pix.reshape(rows, cols, y_vi, y_hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(rows * y_vi * 8, cols * y_hi * 8)
+        )
+    hi, vi = comps[luma_idx][1], comps[luma_idx][2]
+    cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+    plane = plane[:ch, :cw]
+    if (cw, ch) != (w, h):
+        plane = np.repeat(
+            np.repeat(plane, -(-h // ch), axis=0), -(-w // cw), axis=1
+        )[:h, :w]
+    return int(w), int(h), plane.reshape(-1)
+
+
+def encode_jpeg_gray_arith(
+    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """Encode an (h, w) uint8 luma plane as an extended sequential
+    ARITHMETIC JPEG (SOF9) — the arithmetic twin of
+    jpeg.encode_jpeg_gray. Same forward DCT + quantization, so its decode
+    is bit-identical to the Huffman fixture's at the same quality
+    (entropy coding is lossless). Emits an explicit DAC segment with the
+    default conditioning (L=0, U=1, Kx=5)."""
+    from doc_quality_check_spark.functions.jpeg import (
+        QUANT_LUMA,
+        ZIGZAG,
+        _A,
+        _pad_edge,
+        _scale_quant,
+        _seg,
+    )
+
+    plane = np.asarray(pixels, dtype=np.uint8)
+    if plane.ndim != 2:
+        raise ValueError("encode_jpeg_gray_arith expects an (h, w) array")
+    h, w = plane.shape
+    qy = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xC9, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    # DAC: DC table 0 conditioning (U=1, L=0) and AC table 0 Kx=5
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    enc = ArithEncoder()
+    dc = _DCModel(1)
+    ac = bytearray(AC_STAT_BINS)
+    fixed = bytearray([FIXED_BIN])
+    padded = _pad_edge(plane, 8)
+    hh, ww = padded.shape
+    body = bytearray()
+    u = 0
+    for by in range(hh // 8):
+        for bx in range(ww // 8):
+            if restart_interval and u and u % restart_interval == 0:
+                body += enc.flush()
+                body += bytes([0xFF, 0xD0 + ((u // restart_interval - 1) % 8)])
+                dc.reset()
+                ac[:] = bytes(len(ac))
+            f = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = _A @ f @ _A.T
+            zz = np.rint(coef.reshape(-1)[ZIGZAG] / qy).astype(np.int64)
+            diff = int(zz[0]) - dc.pred[0]
+            _encode_dc_diff(enc, dc, 0, 0, diff, 0, 1)
+            dc.pred[0] = int(zz[0])
+            _encode_ac_block(enc, ac, fixed, 5, zz)
+            u += 1
+    body += enc.flush()
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)

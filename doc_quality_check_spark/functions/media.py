@@ -11,8 +11,10 @@ provides the Spark-side plumbing — typed metadata schema, Arrow-batched
   width/height/ink metrics end-to-end.
 - JPEG decodes via :mod:`doc_quality_check_spark.functions.jpeg`
   (from-scratch Huffman + dequant + IDCT; baseline grayscale and YCbCr
-  4:4:4/4:2:2/4:2:0, progressive SOF2, 12-bit SOF1, restart markers).
-  Arithmetic coding raises NotImplementedError → in-band error rows.
+  4:4:4/4:2:2/4:2:0, progressive SOF2, 12-bit SOF1, arithmetic SOF9 via
+  the Annex D QM-coder in ``jpeg_arith``, restart markers). Only
+  progressive-arithmetic (SOF10) and lossless/hierarchical modes raise
+  NotImplementedError → in-band error rows.
 - ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
   deterministic fixture format.
 - VIDEO: YUV4MPEG2 (Y4M) streams decode for real (stdlib parser —
@@ -309,9 +311,9 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
 
 def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
     """bytes → (width, height, grayscale array). PNG (all legal depths,
-    incl. Adam7) and JPEG (baseline + progressive + 12-bit) are real
-    from-scratch decoders; arithmetic-coded JPEG raises
-    NotImplementedError (in-band error row downstream)."""
+    incl. Adam7) and JPEG (baseline + progressive + 12-bit + sequential
+    arithmetic) are real from-scratch decoders; progressive-arithmetic
+    JPEG raises NotImplementedError (in-band error row downstream)."""
     if buf is None or len(buf) == 0:
         return 0, 0, np.zeros(0, dtype=np.uint8)  # empty-input default row
     b = bytes(buf)

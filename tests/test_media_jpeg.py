@@ -82,9 +82,10 @@ def test_jpeg_error_paths():
         decode_jpeg(b"\x00\x01not a jpeg")
     img = _smooth(16, 16)
     buf = bytearray(encode_jpeg_gray(img, quality=90))
-    # flip SOF0 (FFC0) to SOF9 (FFC9): arithmetic coding is an explicit stub
+    # flip SOF0 (FFC0) to SOF10 (FFCA): progressive-arithmetic is the one
+    # remaining declared JPEG stub (sequential arithmetic SOF9 is real now)
     i = bytes(buf).find(b"\xff\xc0")
-    buf[i + 1] = 0xC9
+    buf[i + 1] = 0xCA
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
     # a baseline stream merely RELABELED SOF2 is malformed progressive
@@ -297,3 +298,118 @@ def test_jpeg_12bit_precision():
         encode_jpeg_gray(img12, precision=12, chroma420=True)
     with pytest.raises(ValueError):
         encode_jpeg_gray(img8, precision=10)
+
+
+@pytest.mark.parametrize("quality", [90, 75, 50])
+def test_jpeg_arithmetic_bit_exact(quality):
+    """Sequential ARITHMETIC JPEG (SOF9, T.81 Annex D QM-coder + Annex F
+    decision models) decodes BIT-IDENTICALLY to the Huffman baseline of
+    the same image — entropy coding is lossless, so the two streams carry
+    the same quantized coefficients. Also pins the expected win of the
+    adaptive coder over fixed Annex-K Huffman tables (round 5: the last
+    sequential-JPEG entropy mode)."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith,
+    )
+
+    img = _smooth(45, 61)  # non-multiple-of-8: edge padding crossed
+    arith = encode_jpeg_gray_arith(img, quality=quality)
+    base = encode_jpeg_gray(img, quality=quality)
+    wa, ha, pa = decode_jpeg(arith)
+    wb, hb, pb = decode_jpeg(base)
+    assert (wa, ha) == (wb, hb) == (61, 45)
+    assert np.array_equal(pa, pb)
+    # compression sanity: adaptive arithmetic beats fixed Huffman tables
+    assert len(arith) < len(base)
+    # the frame really is SOF9 + DAC on the wire
+    header = arith.split(b"\xff\xda")[0]
+    assert b"\xff\xc9" in header and b"\xff\xcc" in header
+
+
+def test_jpeg_arithmetic_restarts_and_metrics(spark):
+    """RSTn markers inside an arithmetic scan re-initialize the QM coder
+    AND reset every statistics area + DC predictors/contexts (T.81
+    restart semantics) — decode stays bit-exact — and the Spark
+    image-metrics pass accepts the SOF9 payload (no error row)."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith,
+    )
+
+    img = _smooth(32, 48)
+    arith = encode_jpeg_gray_arith(img, quality=85, restart_interval=3)
+    base = encode_jpeg_gray(img, quality=85)
+    assert np.array_equal(decode_jpeg(arith)[2], decode_jpeg(base)[2])
+    df = spark.createDataFrame(
+        [("ar", bytearray(arith))], "media_id string, bytes binary"
+    )
+    m = image_metrics(df).collect()[0]
+    assert m["decode_ok"] and (m["width"], m["height"]) == (48, 32)
+    assert m["error"] is None
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+    quality=st.sampled_from([60, 80, 95]),
+)
+@settings(max_examples=14, deadline=None)
+def test_jpeg_arithmetic_property(h, w, seed, quality):
+    """Property: for ANY shape/content/quality, arithmetic and Huffman
+    encodings of the same plane decode identically (the QM coder is a
+    lossless re-serialization of the quantized coefficients — unlike the
+    Huffman encode tables there is no magnitude-range ceiling, so raw
+    white noise is fair game)."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    arith = encode_jpeg_gray_arith(img, quality=quality)
+    base = encode_jpeg_gray(img, quality=quality)
+    assert np.array_equal(decode_jpeg(arith)[2], decode_jpeg(base)[2])
+    assert decode_jpeg(arith)[:2] == (w, h)
+
+
+def test_qm_coder_stream_roundtrip():
+    """The raw QM coder roundtrips adversarial decision streams with
+    byte-stuffing/carry paths exercised, final statistics states agree
+    between encoder and decoder, and a marker legally terminates the
+    entropy segment (zero data fed thereafter)."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        FIXED_BIN,
+    )
+
+    rng = np.random.default_rng(99)
+    ff_streams = 0
+    for _ in range(60):
+        n = int(rng.integers(1, 2500))
+        nbins = int(rng.integers(1, 10))
+        p = rng.uniform(0.01, 0.99, size=nbins)
+        bins = rng.integers(0, nbins, size=n)
+        bits = (rng.random(n) < p[bins]).astype(int)
+        enc = ArithEncoder()
+        est = bytearray(nbins)
+        for b, bit in zip(bins, bits):
+            enc.code(est, int(b), int(bit))
+        data = enc.flush()
+        ff_streams += int(b"\xff" in data)
+        dec = ArithDecoder(bytes(data) + b"\xff\xd9", 0)
+        dst = bytearray(nbins)
+        assert [dec.decode(dst, int(b)) for b in bins] == list(bits)
+        assert bytes(dst) == bytes(est)
+    assert ff_streams > 0  # the 0xFF-stuffing path really ran
+    # the fixed half-probability bin never adapts
+    enc = ArithEncoder()
+    fx = bytearray([FIXED_BIN])
+    seq = [int(x) for x in rng.integers(0, 2, size=300)]
+    for s in seq:
+        enc.code(fx, 0, s)
+    assert fx[0] == FIXED_BIN
+    dec = ArithDecoder(enc.flush(), 0)
+    fx2 = bytearray([FIXED_BIN])
+    assert [dec.decode(fx2, 0) for _ in seq] == seq
