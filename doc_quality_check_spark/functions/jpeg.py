@@ -8,14 +8,14 @@ format a real training-data table actually carries:
   YCbCr with any sampling factors (4:4:4 / 4:2:2 / 4:2:0), interleaved and
   single-component scans, restart markers — AND progressive (SOF2) with
   spectral selection + successive approximation (T.81 Annex G, round 5) —
-  AND extended sequential ARITHMETIC (SOF9, the Annex D QM-coder +
-  Annex F decision models in :mod:`jpeg_arith`, round 5). Returns the
-  LUMA plane — the engine's image metrics (ink ratio, mean luma) are
-  luma-only, so chroma blocks are entropy-decoded (the bitstream demands
-  it) but skip IDCT. 12-bit precision decodes too (level shift / clip at
-  the native range, luma reduced to 8 bits); only progressive-arithmetic
-  (SOF10) and lossless/hierarchical modes raise NotImplementedError →
-  in-band error rows downstream.
+  AND both ARITHMETIC modes (SOF9 sequential + SOF10 progressive: the
+  Annex D QM-coder with Annex F/G decision models in :mod:`jpeg_arith`,
+  round 5). Returns the LUMA plane — the engine's image metrics (ink
+  ratio, mean luma) are luma-only, so chroma blocks are entropy-decoded
+  (the bitstream demands it) but skip IDCT. 12-bit precision decodes too
+  (level shift / clip at the native range, luma reduced to 8 bits); only
+  lossless/hierarchical modes raise NotImplementedError → in-band error
+  rows downstream.
 - :func:`encode_jpeg_gray`: a real baseline encoder (forward DCT +
   ITU T.81 Annex K tables) used as the deterministic fixture generator,
   the role ``encode_wav_pcm16`` plays for audio. ``chroma420=True`` wraps
@@ -345,9 +345,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     ).astype(np.int64)
                     i += 128
                 qt[tq_id] = tbl.astype(np.int64)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended / SOF2 progressive (Huffman)
-            # / SOF9 extended sequential (arithmetic, Annex D+F coder)
+            # / SOF9 extended sequential / SOF10 progressive (arithmetic,
+            # the Annex D QM-coder in jpeg_arith)
             precision = seg[0]
             if precision not in (8, 12):
                 raise NotImplementedError(
@@ -361,13 +362,13 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
             frame = (w, h, comps)
             frame_precision = precision
-            progressive = marker == 0xC2
-            arithmetic = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+            progressive = marker in (0xC2, 0xCA)
+            arithmetic = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type 0x{marker:02X} not supported "
-                "(progressive-arithmetic / lossless / hierarchical)"
+                "(lossless / hierarchical)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -408,6 +409,16 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 ahal = seg[3 + 2 * ns]
                 if prog is None:
                     prog = _ProgState(frame)
+                if arithmetic:
+                    from doc_quality_check_spark.functions.jpeg_arith import (
+                        decode_arith_prog_scan,
+                    )
+
+                    pos = decode_arith_prog_scan(
+                        buf, segend, frame, prog, scan_comps, conditioning,
+                        ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
+                    )
+                    continue
                 pos = _decode_prog_scan(
                     buf, segend, frame, prog, scan_comps, huff,
                     ss, se, ahal >> 4, ahal & 0x0F, restart_interval,

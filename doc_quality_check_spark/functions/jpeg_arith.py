@@ -1,11 +1,13 @@
-"""Arithmetic-coded JPEG (SOF9): the T.81 Annex D QM-coder + the Annex F
-sequential DCT decision models, from scratch (stdlib + numpy).
+"""Arithmetic-coded JPEG (SOF9 + SOF10): the T.81 Annex D QM-coder with
+the Annex F sequential and Annex G progressive decision models, from
+scratch (stdlib + numpy).
 
-This closes the engine's last JPEG entropy-coding gap: baseline/extended
-Huffman (jpeg.py), progressive Huffman (Annex G, jpeg.py), and now
-extended sequential ARITHMETIC (SOF9). Progressive-arithmetic (SOF10) and
-the lossless/hierarchical modes remain declared NotImplementedError — they
-are vanishingly rare and need different decision models.
+This closes the engine's JPEG entropy-coding surface: baseline/extended
+Huffman (jpeg.py), progressive Huffman (Annex G, jpeg.py), extended
+sequential ARITHMETIC (SOF9), and PROGRESSIVE ARITHMETIC (SOF10) — every
+DCT-based T.81 mode. Only lossless (SOF3/SOF11) and hierarchical modes
+remain declared NotImplementedError: different (non-DCT) algorithms,
+vanishingly rare in the wild.
 
 Design notes (all public knowledge — ITU-T T.81 Annexes D and F):
 
@@ -121,6 +123,7 @@ class ArithDecoder:
         self.buf = buf
         self.pos = pos
         self.marker: int | None = None  # marker byte that ended the data
+        self.at_eof = False
         self._byte = 0
         self._nbits = 0
         self.a = 0x10000
@@ -141,6 +144,7 @@ class ArithDecoder:
         buf, n = self.buf, len(self.buf)
         if self.pos >= n:
             self.marker = 0xD9  # treat EOF as EOI
+            self.at_eof = True
             return 0
         b = buf[self.pos]
         self.pos += 1
@@ -662,3 +666,376 @@ def encode_jpeg_gray_arith(
     out += body
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive-arithmetic (SOF10): Annex G scan structure over the QM coder.
+# Decision models per T.81 G.1.3 (and libjpeg's jdarith.c, the publicly
+# documented reference for the bin layout): DC first scans reuse the
+# sequential DC conditioning on point-transformed diffs, DC refinement
+# bits ride the fixed half-probability bin, AC first scans are the
+# sequential AC model restricted to the Ss..Se band with magnitudes
+# shifted by Al, and AC refinement codes correction bits at +2 /
+# newly-nonzero flags at +1 with an EOB decision only past the band's
+# previously-nonzero tail.
+
+
+def _scan_end(dec: ArithDecoder) -> int:
+    """Buffer position of the marker that follows this scan's entropy
+    data (the 0xFF of it), for decode_jpeg to continue the marker walk."""
+    if dec.at_eof:
+        return len(dec.buf)
+    if dec.marker is not None and not (0xD0 <= dec.marker <= 0xD7):
+        return dec.pos - 2
+    p, buf, n = dec.pos, dec.buf, len(dec.buf)
+    while p + 1 < n:
+        if buf[p] == 0xFF and buf[p + 1] != 0x00 and not (
+            0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def decode_arith_prog_scan(buf, pos, frame, state, scan_comps, conditioning,
+                           ss, se, ah, al, restart_interval):
+    """Decode one SOF10 scan into the shared progressive coefficient
+    accumulator (jpeg._ProgState) and return the next marker position —
+    the arithmetic twin of jpeg._decode_prog_scan. Statistics areas and
+    DC predictors/contexts are fresh per scan (T.81 F.1.4.1.1) and reset
+    again at every RSTn."""
+    w, h, comps = frame
+    dec = ArithDecoder(buf, pos)
+    fixed = bytearray([FIXED_BIN])
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        dc = _DCModel(len(comps))
+
+        def reset_dc():
+            dc.reset()
+
+        if ah == 0:
+            conds = {
+                ci: conditioning.get(("dc", td), (0, 1))
+                for ci, td, _ in scan_comps
+            }
+
+            def one(ci, td, r, c):
+                lo, up = conds[ci]
+                dc.pred[ci] += _decode_dc_diff(dec, dc, ci, td, lo, up)
+                state.coef[ci][r, c, 0] = dc.pred[ci] << al
+        else:
+
+            def one(ci, td, r, c):
+                # G: DC refinement bits use the fixed 0.5 bin
+                state.coef[ci][r, c, 0] |= dec.decode(fixed, 0) << al
+
+        if len(scan_comps) == 1:
+            ci, td, _ta = scan_comps[0]
+            by, bx = state.comp_blocks(frame, ci)
+            u = 0
+            for r in range(by):
+                for c in range(bx):
+                    if restart_interval and u and u % restart_interval == 0:
+                        dec.restart(u // restart_interval - 1)
+                        reset_dc()
+                    one(ci, td, r, c)
+                    u += 1
+        else:
+            for m in range(state.mcux * state.mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    dec.restart(m // restart_interval - 1)
+                    reset_dc()
+                my, mx = divmod(m, state.mcux)
+                for ci, td, _ta in scan_comps:
+                    _, hi, vi, _tq = comps[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            one(ci, td, my * vi + v, mx * hi + hh)
+        return _scan_end(dec)
+
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    ci, _td, ta = scan_comps[0]
+    kx = conditioning.get(("ac", ta), 5)
+    st = bytearray(AC_STAT_BINS)
+    by, bx = state.comp_blocks(frame, ci)
+    u = 0
+    for r in range(by):
+        for c in range(bx):
+            if restart_interval and u and u % restart_interval == 0:
+                dec.restart(u // restart_interval - 1)
+                st[:] = bytes(len(st))
+            blk = state.coef[ci][r, c]
+            if ah == 0:
+                _arith_ac_first_block(dec, st, fixed, kx, blk, ss, se, al)
+            else:
+                _arith_ac_refine_block(dec, st, fixed, blk, ss, se, al)
+            u += 1
+    return _scan_end(dec)
+
+
+def _arith_ac_first_block(dec, st, fixed, kx, blk, ss, se, al):
+    """First AC scan of a band (G.1.3.2): sequential AC decisions bounded
+    to Ss..Se, decoded magnitudes scaled by 2^Al."""
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            return
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC run past band end")
+        sign = dec.decode(fixed, 0)
+        pos = base + 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(st, pos):
+                v |= mm
+        v += 1
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _arith_ac_refine_block(dec, st, fixed, blk, ss, se, al):
+    """AC successive-approximation refinement (G.1.3.3): correction bits
+    for previously-nonzero coefficients at bin +2, newly-nonzero flags at
+    +1 with signs from the fixed bin, EOB decisions only past the block's
+    previously-nonzero tail (kex)."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex >= ss and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, base):  # EOB
+                return
+        while True:
+            if blk[k] != 0:
+                if dec.decode(st, base + 2):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                break
+            if dec.decode(st, base + 1):
+                blk[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refinement past band end")
+        k += 1
+
+
+def encode_jpeg_gray_arith_progressive(
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    scans: tuple | None = None,
+) -> bytes:
+    """Encode an (h, w) uint8 luma plane as a PROGRESSIVE ARITHMETIC
+    (SOF10) JPEG — the fixture twin of jpeg.encode_jpeg_gray_progressive,
+    reusing its default 6-scan script. The script restores the exact
+    quantized coefficients, so decode parity with the Huffman baseline is
+    bit-exact. Per-scan statistics are fresh; the encoder mirrors the
+    decoder's accumulator so refinement decisions match by construction."""
+    from doc_quality_check_spark.functions.jpeg import (
+        PROGRESSIVE_SCANS,
+        QUANT_LUMA,
+        ZIGZAG,
+        _A,
+        _pad_edge,
+        _scale_quant,
+        _seg,
+    )
+
+    if scans is None:
+        scans = PROGRESSIVE_SCANS
+    plane = np.asarray(pixels, dtype=np.uint8)
+    if plane.ndim != 2:
+        raise ValueError("encode_jpeg_gray_arith_progressive expects (h, w)")
+    h, w = plane.shape
+    qy = _scale_quant(QUANT_LUMA, quality)[ZIGZAG]
+    padded = _pad_edge(plane, 8)
+    nby, nbx = padded.shape[0] // 8, padded.shape[1] // 8
+    coefs = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            f = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coefs[by, bx] = np.rint(
+                (_A @ f @ _A.T).reshape(-1)[ZIGZAG] / qy
+            ).astype(np.int64)
+    acc = np.zeros_like(coefs)  # decoder-mirror accumulator
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _seg(0xCA, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+
+    for ss, se, ah, al in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        enc = ArithEncoder()
+        fixed = bytearray([FIXED_BIN])
+        body = bytearray()
+        if ss == 0:
+            dc = _DCModel(1)
+            u = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and u and u % restart_interval == 0:
+                        body += enc.flush()
+                        body += bytes(
+                            [0xFF, 0xD0 + ((u // restart_interval - 1) % 8)]
+                        )
+                        dc.reset()
+                    cv = int(coefs[by, bx, 0]) >> al  # G.1.2.1 point transf.
+                    if ah == 0:
+                        _encode_dc_diff(enc, dc, 0, 0, cv - dc.pred[0], 0, 1)
+                        dc.pred[0] = cv
+                        acc[by, bx, 0] = cv << al
+                    else:
+                        enc.code(fixed, 0, cv & 1)
+                        acc[by, bx, 0] |= (cv & 1) << al
+                    u += 1
+        else:
+            st = bytearray(AC_STAT_BINS)
+            u = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and u and u % restart_interval == 0:
+                        body += enc.flush()
+                        body += bytes(
+                            [0xFF, 0xD0 + ((u // restart_interval - 1) % 8)]
+                        )
+                        st[:] = bytes(len(st))
+                    if ah == 0:
+                        _enc_arith_ac_first(
+                            enc, st, fixed, 5, coefs[by, bx], acc[by, bx],
+                            ss, se, al,
+                        )
+                    else:
+                        _enc_arith_ac_refine(
+                            enc, st, fixed, coefs[by, bx], acc[by, bx],
+                            ss, se, al,
+                        )
+                    u += 1
+        body += enc.flush()
+        out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_arith_ac_first(enc, st, fixed, kx, coef, acc, ss, se, al):
+    def vk(k):
+        c = int(coef[k])
+        return (-c if c < 0 else c) >> al
+
+    kend = se
+    while kend >= ss and vk(kend) == 0:
+        kend -= 1
+    k = ss
+    while k <= kend:
+        base = 3 * (k - 1)
+        enc.code(st, base, 0)  # not EOB
+        while vk(k) == 0:
+            enc.code(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.code(st, base + 1, 1)
+        sign = 1 if int(coef[k]) < 0 else 0
+        enc.code(fixed, 0, sign)
+        v = vk(k) - 1
+        pos = base + 2
+        if v == 0:
+            enc.code(st, pos, 0)
+            m = 0
+        else:
+            enc.code(st, pos, 1)
+            t = v.bit_length() - 1
+            if t == 0:
+                enc.code(st, pos, 0)
+                m = 1
+            else:
+                enc.code(st, pos, 1)
+                pos = 189 if k <= kx else 217
+                for _ in range(t - 1):
+                    enc.code(st, pos, 1)
+                    pos += 1
+                enc.code(st, pos, 0)
+                m = 1 << t
+        pos += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.code(st, pos, 1 if v & mm else 0)
+        acc[k] = (-(vk(k)) if sign else vk(k)) << al
+        k += 1
+    if kend < se:
+        enc.code(st, 3 * (max(kend + 1, ss) - 1), 1)  # EOB
+
+
+def _enc_arith_ac_refine(enc, st, fixed, coef, acc, ss, se, al):
+    p1 = 1 << al
+    m1 = -p1
+
+    def bit_al(k):
+        c = int(coef[k])
+        return ((-c if c < 0 else c) >> al) & 1
+
+    def newly(k):
+        return acc[k] == 0 and bit_al(k)
+
+    kex = se
+    while kex >= ss and acc[kex] == 0:
+        kex -= 1
+    kend = se  # last position with any newly-nonzero coefficient
+    while kend >= ss and not (acc[kend] == 0 and bit_al(kend)):
+        kend -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if k > kend:
+                enc.code(st, base, 1)  # EOB
+                return
+            enc.code(st, base, 0)
+        while True:
+            if acc[k] != 0:
+                b = bit_al(k)
+                enc.code(st, base + 2, b)
+                if b:
+                    acc[k] += p1 if acc[k] >= 0 else m1
+                break
+            if newly(k):
+                enc.code(st, base + 1, 1)
+                sign = 1 if int(coef[k]) < 0 else 0
+                enc.code(fixed, 0, sign)
+                acc[k] = m1 if sign else p1
+                break
+            enc.code(st, base + 1, 0)
+            base += 3
+            k += 1
+        k += 1

@@ -82,17 +82,19 @@ def test_jpeg_error_paths():
         decode_jpeg(b"\x00\x01not a jpeg")
     img = _smooth(16, 16)
     buf = bytearray(encode_jpeg_gray(img, quality=90))
-    # flip SOF0 (FFC0) to SOF10 (FFCA): progressive-arithmetic is the one
-    # remaining declared JPEG stub (sequential arithmetic SOF9 is real now)
+    # flip SOF0 (FFC0) to SOF3 (FFC3): lossless is a declared stub (all
+    # four sequential/progressive entropy modes decode for real now)
     i = bytes(buf).find(b"\xff\xc0")
-    buf[i + 1] = 0xCA
+    buf[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
-    # a baseline stream merely RELABELED SOF2 is malformed progressive
-    # (its single scan spans Ss=0..Se=63): clear error, not garbage pixels
-    buf[i + 1] = 0xC2
-    with pytest.raises(ValueError):
-        decode_jpeg(bytes(buf))
+    # a baseline stream merely RELABELED SOF2/SOF10 is malformed
+    # progressive (its single scan spans Ss=0..Se=63): clear error, not
+    # garbage pixels
+    for relabel in (0xC2, 0xCA):
+        buf[i + 1] = relabel
+        with pytest.raises(ValueError):
+            decode_jpeg(bytes(buf))
     # truncation mid-entropy-data -> in-band error, not a hang
     with pytest.raises(Exception):
         decode_jpeg(bytes(encode_jpeg_gray(img))[:40])
@@ -413,3 +415,72 @@ def test_qm_coder_stream_roundtrip():
     dec = ArithDecoder(enc.flush(), 0)
     fx2 = bytearray([FIXED_BIN])
     assert [dec.decode(fx2, 0) for _ in seq] == seq
+
+
+@pytest.mark.parametrize("quality", [90, 75, 50])
+def test_jpeg_progressive_arithmetic_bit_exact(quality):
+    """PROGRESSIVE ARITHMETIC (SOF10, Annex G scans over the QM coder)
+    decodes bit-identically to the Huffman baseline of the same image —
+    the 6-scan script is a lossless re-serialization of the quantized
+    coefficients, now through arithmetic decisions (DC conditioning, AC
+    band models, fixed-bin refinement bits)."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith_progressive,
+    )
+
+    img = _smooth(45, 61)
+    pa = encode_jpeg_gray_arith_progressive(img, quality=quality)
+    base = encode_jpeg_gray(img, quality=quality)
+    wa, ha, plane = decode_jpeg(pa)
+    assert (wa, ha) == (61, 45)
+    assert np.array_equal(plane, decode_jpeg(base)[2])
+    assert len(pa) < len(base)  # adaptive coder still wins
+    header = pa.split(b"\xff\xda")[0]
+    assert b"\xff\xca" in header and b"\xff\xcc" in header
+
+
+def test_jpeg_progressive_arithmetic_restarts_and_metrics(spark):
+    """RSTn inside every arithmetic progressive scan (coder re-init +
+    per-scan statistics reset) stays bit-exact, and the Spark
+    image-metrics pass accepts the SOF10 payload."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith_progressive,
+    )
+
+    img = _smooth(32, 48)
+    pa = encode_jpeg_gray_arith_progressive(
+        img, quality=85, restart_interval=3
+    )
+    base = encode_jpeg_gray(img, quality=85)
+    assert np.array_equal(decode_jpeg(pa)[2], decode_jpeg(base)[2])
+    df = spark.createDataFrame(
+        [("pa", bytearray(pa))], "media_id string, bytes binary"
+    )
+    m = image_metrics(df).collect()[0]
+    assert m["decode_ok"] and (m["width"], m["height"]) == (48, 32)
+    assert m["error"] is None
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_progressive_arithmetic_property(h, w, seed):
+    """Property: ANY shape and raw white-noise content — the hardest case
+    for refinement-scan bookkeeping (dense newly-nonzero coefficients in
+    every band) — decodes identically via SOF10-arithmetic and baseline
+    Huffman. No magnitude ceiling applies (QM codes arbitrary
+    categories), so unsmoothed noise is fair game."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith_progressive,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    pa = encode_jpeg_gray_arith_progressive(img, quality=80)
+    base = encode_jpeg_gray(img, quality=80)
+    assert np.array_equal(decode_jpeg(pa)[2], decode_jpeg(base)[2])
+    assert decode_jpeg(pa)[:2] == (w, h)
