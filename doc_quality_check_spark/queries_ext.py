@@ -1522,6 +1522,99 @@ ORDER BY doc_id
 """
 
 
+def q_video_frame_metrics(spark, sf):
+    """VIDEO-payload frame sampling through the REAL containers under the
+    driver gate (round 5): every document row synthesizes a small video
+    executor-side — MJPEG-in-AVI for even doc_ids (RIFF container + real
+    JPEG frames), YUV4MPEG2 for odd — with flat per-frame luma derived
+    from (doc_id, frame_idx), then ONE video_frame_sample mapInPandas
+    pass samples at 1000 ms. The oracle recomputes the sampled fan-out
+    (row count, frame_idx = 2*sample, t_ms, dimensions, decode_ok) from
+    the same doc_id formulas in SQL; the decoded luma has no SQL form, so
+    it rides a self-checking boolean (|luma_mean - expected| <= 1.0,
+    flat JPEG frames reconstruct within DC-quantization rounding; Y4M is
+    lossless) whose oracle is a TRUE literal — the percentiles_sketch
+    pattern. Same plan rules as q_image_decode_metrics: spread ids
+    before the binary-emitting UDF, checkpoint between synth and decode
+    so bytes never chain through one stage."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.media import (
+        encode_avi_mjpeg,
+        encode_y4m,
+        video_frame_sample,
+    )
+
+    docs = (
+        t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .repartition(8)
+    )
+
+    @F.pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = 16 + 2 * (i % 5), 16 + 2 * (i % 3)
+            frames = [
+                np.full((h, w), (i * 7 + j * 40) % 200 + 20, dtype=np.uint8)
+                for j in range(2 + i % 4)
+            ]
+            out.append(
+                encode_avi_mjpeg(frames, fps=(2, 1), quality=90)
+                if i % 2 == 0
+                else encode_y4m(frames, fps=(2, 1))
+            )
+        return pd.Series(out)
+
+    vids = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        _synth("doc_id").alias("bytes"),
+        F.lit(0).alias("dur_ms"),  # real containers carry their own timing
+    ).localCheckpoint(eager=True)
+    s = video_frame_sample(vids, every_ms=1000)
+    i = F.col("media_id").cast("long")
+    expected = (i * 7 + F.col("frame_idx") * 40) % 200 + 20
+    return s.select(
+        i.alias("doc_id"),
+        "frame_idx",
+        "t_ms",
+        "width",
+        "height",
+        "decode_ok",
+        (F.abs(F.col("luma_mean") - expected) <= 1.0).alias("ok_luma"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+# the oracle re-derives the container-independent sampling fan-out from
+# the doc_id formulas: nframes = 2 + id%4 at 2 fps -> 500 ms frames,
+# sampled every 1000 ms -> nframes//2 rows (>=1), frame_idx = 2*sample;
+# decoded luma rides the self-check boolean (TRUE literal)
+SQL_VIDEO_FRAME_METRICS = """
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         2 + CAST(doc_id AS BIGINT) % 4 AS nframes
+  FROM documents
+),
+expanded AS (
+  SELECT doc_id,
+         CAST(2 * unnest(range(0, GREATEST(1, nframes // 2))) AS INTEGER)
+           AS frame_idx
+  FROM base
+)
+SELECT doc_id,
+       frame_idx,
+       CAST(frame_idx AS DOUBLE) * 500.0 AS t_ms,
+       CAST(16 + 2 * (doc_id % 5) AS INTEGER) AS width,
+       CAST(16 + 2 * (doc_id % 3) AS INTEGER) AS height,
+       TRUE AS decode_ok,
+       TRUE AS ok_luma
+FROM expanded
+ORDER BY doc_id, frame_idx
+"""
+
+
 def q_column_corr(spark, sf):
     """Per-language Pearson correlation between declared n_chars and the
     measured whitespace word count (column-relationship profiling — the
@@ -2274,6 +2367,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iou_dedupe": q_iou_dedupe,
     "audio_neardup": q_audio_neardup,
     "image_decode_metrics": q_image_decode_metrics,
+    "video_frame_metrics": q_video_frame_metrics,
     "column_corr": q_column_corr,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -2295,6 +2389,7 @@ ORACLES_EXT: dict[str, str] = {
     "skew_profile": SQL_SKEW_PROFILE,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "image_decode_metrics": SQL_IMAGE_DECODE_METRICS,
+    "video_frame_metrics": SQL_VIDEO_FRAME_METRICS,
     "column_corr": SQL_COLUMN_CORR,
     "text_clean": SQL_TEXT_CLEAN,
     "artifact_typology": _artifact_sql(),

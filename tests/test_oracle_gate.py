@@ -43,6 +43,9 @@ NEVER_SAMPLED = [
     "sessionize",
     "token_budget",
     "upsample_groups",
+    # round 5: brand-new driver-gated query (MJPEG-AVI + Y4M frame
+    # sampling with SQL-rederived fan-out) — no driver row yet, pins here
+    "video_frame_metrics",
 ]
 
 pytestmark = pytest.mark.skipif(
