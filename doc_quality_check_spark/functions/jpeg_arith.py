@@ -604,15 +604,22 @@ def decode_arith_scan(buf, pos, frame, scan_comps, conditioning,
 
 
 def encode_jpeg_gray_arith(
-    pixels: np.ndarray, quality: int = 90, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    chroma420: bool = False,
 ) -> bytes:
     """Encode an (h, w) uint8 luma plane as an extended sequential
     ARITHMETIC JPEG (SOF9) — the arithmetic twin of
     jpeg.encode_jpeg_gray. Same forward DCT + quantization, so its decode
     is bit-identical to the Huffman fixture's at the same quality
     (entropy coding is lossless). Emits an explicit DAC segment with the
-    default conditioning (L=0, U=1, Kx=5)."""
+    default conditioning (L=0, U=1, Kx=5). ``chroma420=True`` wraps the
+    same luma in an interleaved YCbCr 4:2:0 frame with flat chroma on its
+    own DC/AC conditioning tables — exercising a decoder's interleaved
+    MCU path and per-table statistics areas."""
     from doc_quality_check_spark.functions.jpeg import (
+        QUANT_CHROMA,
         QUANT_LUMA,
         ZIGZAG,
         _A,
@@ -632,36 +639,91 @@ def encode_jpeg_gray_arith(
     out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qy))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    out += _seg(0xC9, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    # DAC: DC table 0 conditioning (U=1, L=0) and AC table 0 Kx=5
-    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
-    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
     enc = ArithEncoder()
-    dc = _DCModel(1)
-    ac = bytearray(AC_STAT_BINS)
     fixed = bytearray([FIXED_BIN])
-    padded = _pad_edge(plane, 8)
-    hh, ww = padded.shape
     body = bytearray()
-    u = 0
-    for by in range(hh // 8):
-        for bx in range(ww // 8):
-            if restart_interval and u and u % restart_interval == 0:
-                body += enc.flush()
-                body += bytes([0xFF, 0xD0 + ((u // restart_interval - 1) % 8)])
-                dc.reset()
-                ac[:] = bytes(len(ac))
-            f = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
-                np.float64
-            ) - 128.0
-            coef = _A @ f @ _A.T
-            zz = np.rint(coef.reshape(-1)[ZIGZAG] / qy).astype(np.int64)
-            diff = int(zz[0]) - dc.pred[0]
-            _encode_dc_diff(enc, dc, 0, 0, diff, 0, 1)
-            dc.pred[0] = int(zz[0])
-            _encode_ac_block(enc, ac, fixed, 5, zz)
-            u += 1
+
+    def zz_block(src, r0, c0, q):
+        f = src[r0 : r0 + 8, c0 : c0 + 8].astype(np.float64) - 128.0
+        return np.rint(
+            ((_A @ f @ _A.T)).reshape(-1)[ZIGZAG] / q
+        ).astype(np.int64)
+
+    if not chroma420:
+        out += _seg(
+            0xC9, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        )
+        # DAC: DC table 0 conditioning (U=1, L=0) and AC table 0 Kx=5
+        out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+        out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        dc = _DCModel(1)
+        ac = bytearray(AC_STAT_BINS)
+        padded = _pad_edge(plane, 8)
+        hh, ww = padded.shape
+        u = 0
+        for by in range(hh // 8):
+            for bx in range(ww // 8):
+                if restart_interval and u and u % restart_interval == 0:
+                    body += enc.flush()
+                    body += bytes(
+                        [0xFF, 0xD0 + ((u // restart_interval - 1) % 8)]
+                    )
+                    dc.reset()
+                    ac[:] = bytes(len(ac))
+                zz = zz_block(padded, by * 8, bx * 8, qy)
+                _encode_dc_diff(enc, dc, 0, 0, int(zz[0]) - dc.pred[0], 0, 1)
+                dc.pred[0] = int(zz[0])
+                _encode_ac_block(enc, ac, fixed, 5, zz)
+                u += 1
+    else:
+        qc = _scale_quant(QUANT_CHROMA, quality)[ZIGZAG]
+        out += _seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc))
+        out += _seg(
+            0xC9,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        # DAC: both DC tables (U=1, L=0) and both AC tables (Kx=5)
+        out += _seg(
+            0xCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5])
+        )
+        out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        dc = _DCModel(3)
+        ac0 = bytearray(AC_STAT_BINS)
+        ac1 = bytearray(AC_STAT_BINS)
+        zero = np.zeros(64, dtype=np.int64)
+        padded = _pad_edge(plane, 16)
+        ph, pw = padded.shape
+        m = 0
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                if restart_interval and m and m % restart_interval == 0:
+                    body += enc.flush()
+                    body += bytes(
+                        [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
+                    )
+                    dc.reset()
+                    ac0[:] = bytes(len(ac0))
+                    ac1[:] = bytes(len(ac1))
+                m += 1
+                for v in range(2):
+                    for hh in range(2):
+                        zz = zz_block(
+                            padded, my * 16 + v * 8, mx * 16 + hh * 8, qy
+                        )
+                        _encode_dc_diff(
+                            enc, dc, 0, 0, int(zz[0]) - dc.pred[0], 0, 1
+                        )
+                        dc.pred[0] = int(zz[0])
+                        _encode_ac_block(enc, ac0, fixed, 5, zz)
+                # flat chroma (Cb=Cr=128): all-zero blocks on table 1
+                for ci in (1, 2):
+                    _encode_dc_diff(
+                        enc, dc, ci, 1, 0 - dc.pred[ci], 0, 1
+                    )
+                    dc.pred[ci] = 0
+                    _encode_ac_block(enc, ac1, fixed, 5, zero)
     body += enc.flush()
     out += body
     out += b"\xff\xd9"

@@ -302,8 +302,9 @@ def test_jpeg_12bit_precision():
         encode_jpeg_gray(img8, precision=10)
 
 
+@pytest.mark.parametrize("chroma420", [False, True])
 @pytest.mark.parametrize("quality", [90, 75, 50])
-def test_jpeg_arithmetic_bit_exact(quality):
+def test_jpeg_arithmetic_bit_exact(quality, chroma420):
     """Sequential ARITHMETIC JPEG (SOF9, T.81 Annex D QM-coder + Annex F
     decision models) decodes BIT-IDENTICALLY to the Huffman baseline of
     the same image — entropy coding is lossless, so the two streams carry
@@ -315,8 +316,8 @@ def test_jpeg_arithmetic_bit_exact(quality):
     )
 
     img = _smooth(45, 61)  # non-multiple-of-8: edge padding crossed
-    arith = encode_jpeg_gray_arith(img, quality=quality)
-    base = encode_jpeg_gray(img, quality=quality)
+    arith = encode_jpeg_gray_arith(img, quality=quality, chroma420=chroma420)
+    base = encode_jpeg_gray(img, quality=quality, chroma420=chroma420)
     wa, ha, pa = decode_jpeg(arith)
     wb, hb, pb = decode_jpeg(base)
     assert (wa, ha) == (wb, hb) == (61, 45)
@@ -341,6 +342,13 @@ def test_jpeg_arithmetic_restarts_and_metrics(spark):
     arith = encode_jpeg_gray_arith(img, quality=85, restart_interval=3)
     base = encode_jpeg_gray(img, quality=85)
     assert np.array_equal(decode_jpeg(arith)[2], decode_jpeg(base)[2])
+    # interleaved 4:2:0 with restarts: per-MCU coder resets across THREE
+    # components and two statistics-table pairs
+    ar420 = encode_jpeg_gray_arith(
+        img, quality=85, chroma420=True, restart_interval=3
+    )
+    hb420 = encode_jpeg_gray(img, quality=85, chroma420=True)
+    assert np.array_equal(decode_jpeg(ar420)[2], decode_jpeg(hb420)[2])
     df = spark.createDataFrame(
         [("ar", bytearray(arith))], "media_id string, bytes binary"
     )
