@@ -6,6 +6,8 @@ above 30 dB SNR for smooth content at quality>=75, across grayscale and
 interleaved 4:2:0 frames and restart intervals.
 """
 
+import struct
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -492,3 +494,41 @@ def test_jpeg_progressive_arithmetic_property(h, w, seed):
     base = encode_jpeg_gray(img, quality=80)
     assert np.array_equal(decode_jpeg(pa)[2], decode_jpeg(base)[2])
     assert decode_jpeg(pa)[:2] == (w, h)
+
+
+def test_jpeg_arithmetic_corrupt_streams_terminate():
+    """Robustness: random byte corruption and truncation of SOF9/SOF10
+    streams always terminates promptly in either a decode (garbage
+    pixels are fine — validity is the suite's luma-range check's job) or
+    a clean exception that image_metrics turns into an in-band error row
+    — never a hang or an uncaught non-Exception crash. All decoder loops
+    are bounded (X-tree overflow guards, band-end run checks, zero-fed
+    tails after markers)."""
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith,
+        encode_jpeg_gray_arith_progressive,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    for base in (
+        encode_jpeg_gray_arith(img, quality=80),
+        encode_jpeg_gray_arith_progressive(img, quality=80),
+    ):
+        for _ in range(60):
+            buf = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                buf[int(rng.integers(2, len(buf)))] = int(
+                    rng.integers(0, 256)
+                )
+            try:
+                w, h, _p = decode_jpeg(bytes(buf))
+                assert w >= 0 and h >= 0
+            except (ValueError, NotImplementedError, KeyError, IndexError,
+                    struct.error):
+                pass
+        for cut in range(10, len(base), max(1, len(base) // 12)):
+            try:
+                decode_jpeg(bytes(base[:cut]))
+            except Exception:
+                pass
