@@ -680,6 +680,113 @@ def decode_avi_mjpeg(buf: bytes):
     return int(w), int(h), fn, fd, frames
 
 
+# columns appended by with_video_metrics. suite/compiler.py's video row
+# kinds read these; suite/runner.py triggers the video decode pass when any
+# check references one — the video twin of IMAGE_METRIC_COLUMNS.
+VIDEO_METRIC_COLUMNS = (
+    "vid_decode_ok",
+    "vid_width",
+    "vid_height",
+    "vid_n_frames",
+    "vid_fps",
+    "vid_luma_mean",
+    "vid_error",
+)
+
+
+def with_video_metrics(
+    df: DataFrame, payload_col: str = "bytes"
+) -> DataFrame:
+    """Append ``vid_decode_ok / vid_width / vid_height / vid_n_frames /
+    vid_fps / vid_luma_mean / vid_error`` in ONE ``mapInPandas`` pass,
+    dropping ``payload_col`` — the video twin of
+    :func:`with_image_metrics`. Decode cost is BOUNDED per row: container
+    metadata plus at most three sampled frames (first/middle/last) for the
+    luma mean — for the indexed MJPEG-AVI container that is exactly three
+    JPEG decodes regardless of stream length. Y4M and MJPEG-AVI decode
+    for real; inter-frame codecs and corrupt containers become in-band
+    error rows (stub:/plain errors), never job failures."""
+    in_fields = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = StructType(
+        in_fields
+        + [
+            StructField("vid_decode_ok", BooleanType()),
+            StructField("vid_width", IntegerType()),
+            StructField("vid_height", IntegerType()),
+            StructField("vid_n_frames", IntegerType()),
+            StructField("vid_fps", DoubleType()),
+            StructField("vid_luma_mean", DoubleType()),
+            StructField("vid_error", StringType()),
+        ]
+    )
+    keep = [f.name for f in in_fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from doc_quality_check_spark.functions.jpeg import decode_jpeg
+
+        for pdf in batches:
+            oks, ws, hs, nfs, fpss, lumas, errs = [], [], [], [], [], [], []
+            for buf in pdf[payload_col]:
+                b = bytes(buf) if buf is not None else b""
+                ok, w, h, nf, fps, luma, err = (
+                    False, 0, 0, 0, None, None, None,
+                )
+                try:
+                    if b[:9] == Y4M_MAGIC:
+                        w, h, fn, fd, frames = decode_y4m(b)
+                        nf = len(frames)
+                        fps = fn / fd
+                        idxs = sorted({0, nf // 2, nf - 1})
+                        luma = float(
+                            np.mean([frames[i].mean() for i in idxs])
+                        )
+                        ok = True
+                    elif b[:4] == AVI_MAGIC and b[8:12] == b"AVI ":
+                        w, h, fn, fd, chunks = decode_avi_mjpeg(b)
+                        nf = len(chunks)
+                        fps = fn / fd
+                        idxs = sorted({0, nf // 2, nf - 1})
+                        luma = float(np.mean([
+                            np.asarray(decode_jpeg(chunks[i])[2]).mean()
+                            for i in idxs
+                        ]))
+                        ok = True
+                    elif not b:
+                        err = "empty video payload"
+                    else:
+                        raise NotImplementedError(
+                            "unrecognized video container (only Y4M and "
+                            "MJPEG-AVI decode without codec libraries)"
+                        )
+                except NotImplementedError as exc:
+                    w = h = nf = 0
+                    fps = luma = None
+                    ok, err = False, f"stub: {exc}"
+                except Exception as exc:  # in-band error row
+                    w = h = nf = 0
+                    fps = luma = None
+                    ok, err = False, str(exc)
+                oks.append(ok)
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+                fpss.append(fps)
+                lumas.append(luma)
+                errs.append(err)
+            out = pdf[keep].copy()
+            out["vid_decode_ok"] = oks
+            out["vid_width"] = ws
+            out["vid_height"] = hs
+            out["vid_n_frames"] = nfs
+            # nullable dtypes: None must stay NULL through the Arrow cast
+            out["vid_fps"] = pd.array(fpss, dtype="Float64")
+            out["vid_luma_mean"] = pd.array(lumas, dtype="Float64")
+            out["vid_error"] = errs
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),

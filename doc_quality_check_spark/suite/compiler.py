@@ -109,6 +109,27 @@ def compile_check(check: Check) -> Column:
             (F.col("img_luma_mean") >= F.lit(lo))
             & (F.col("img_luma_mean") <= F.lit(hi))
         )
+    if kind == "payload_video_decode":
+        # video analog of payload_image_decode: the column comes from ONE
+        # with_video_metrics pass (Y4M + MJPEG-AVI decode for real;
+        # inter-frame codecs/corrupt containers fail here and only here)
+        return F.col("vid_decode_ok")
+    if kind == "video_frame_rate":
+        # fps sanity bounds from the container's own timing metadata
+        lo = float(p.get("min", 1.0))
+        hi = float(p.get("max", 120.0))
+        return ~F.col("vid_decode_ok") | _null_passes(
+            (F.col("vid_fps") >= F.lit(lo)) & (F.col("vid_fps") <= F.lit(hi))
+        )
+    if kind == "video_luma_range":
+        # sampled-frame mean-luma bounds (all-black video is the video
+        # world's silence); gated on decode success
+        lo = float(p.get("min", 0.0))
+        hi = float(p.get("max", 255.0))
+        return ~F.col("vid_decode_ok") | _null_passes(
+            (F.col("vid_luma_mean") >= F.lit(lo))
+            & (F.col("vid_luma_mean") <= F.lit(hi))
+        )
     raise ValueError(f"not a row-level check kind: {kind}")
 
 

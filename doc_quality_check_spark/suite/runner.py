@@ -133,6 +133,23 @@ def _image_payload_col(image_checks) -> str:
     return cols.pop()
 
 
+def _video_payload_col(video_checks) -> str:
+    """The video PAYLOAD column for the decode pass — the video twin of
+    :func:`_image_payload_col`."""
+    from doc_quality_check_spark.suite.spec import VIDEO_ROW_KINDS
+
+    cols = {
+        c.column or "bytes"
+        for c in video_checks
+        if c.kind in VIDEO_ROW_KINDS
+    } or {"bytes"}
+    if len(cols) > 1:
+        raise ValueError(
+            f"video checks must share one payload column, got {sorted(cols)}"
+        )
+    return cols.pop()
+
+
 class SuiteRunner:
     def __init__(self, suite: CheckSuite):
         self.suite = suite
@@ -202,26 +219,35 @@ class SuiteRunner:
             table_checks = [c for c in table_checks if c.kind != "payload_neardup"]
         from doc_quality_check_spark.functions.media import (
             IMAGE_METRIC_COLUMNS,
+            VIDEO_METRIC_COLUMNS,
         )
-        from doc_quality_check_spark.suite.spec import IMAGE_ROW_KINDS
+        from doc_quality_check_spark.suite.spec import (
+            IMAGE_ROW_KINDS,
+            VIDEO_ROW_KINDS,
+        )
 
-        def _references_image(c) -> bool:
-            # generic checks (in_range/expr/... on img_luma_mean etc.)
-            # demand the image decode exactly as metric-referencing generic
-            # checks demand the audio decode
-            if c.column in IMAGE_METRIC_COLUMNS:
+        def _references_media(c, metric_columns) -> bool:
+            # generic checks (in_range/expr/... on img_luma_mean /
+            # vid_fps etc.) demand that modality's decode exactly as
+            # metric-referencing generic checks demand the audio decode
+            if c.column in metric_columns:
                 return True
             if c.kind == "expr":
                 expr = str(c.params.get("expr", ""))
                 return any(
-                    _re.search(rf"\b{m}\b", expr)
-                    for m in IMAGE_METRIC_COLUMNS
+                    _re.search(rf"\b{m}\b", expr) for m in metric_columns
                 )
             return False
 
-        # image row kinds (and generic checks referencing an img_* column)
-        # run their own media decode pass (not the audio one) — they must
-        # not trigger with_payload_metrics
+        def _references_image(c) -> bool:
+            return _references_media(c, IMAGE_METRIC_COLUMNS)
+
+        def _references_video(c) -> bool:
+            return _references_media(c, VIDEO_METRIC_COLUMNS)
+
+        # image/video row kinds (and generic checks referencing an img_*/
+        # vid_* column) run their own media decode pass (not the audio
+        # one) — they must not trigger with_payload_metrics
         image_checks = (
             [
                 c
@@ -231,9 +257,20 @@ class SuiteRunner:
             if payload
             else []
         )
+        video_checks = (
+            [
+                c
+                for c in [*row_checks, *table_checks]
+                if c.kind in VIDEO_ROW_KINDS or _references_video(c)
+            ]
+            if payload
+            else []
+        )
+        _media_row_kinds = IMAGE_ROW_KINDS | VIDEO_ROW_KINDS
         needs_payload = payload and (
             any(
-                c.kind.startswith("payload_") and c.kind not in IMAGE_ROW_KINDS
+                c.kind.startswith("payload_")
+                and c.kind not in _media_row_kinds
                 for c in row_checks
             )
             or any(_references_metric(c) for c in [*row_checks, *table_checks])
@@ -246,7 +283,11 @@ class SuiteRunner:
             # all checks — an 'accurate' check must never be evaluated
             # against a cheaper tier's confidence). Default 'accurate'.
             strength = {"superfast": 0, "balanced": 1, "fast": 2, "accurate": 3}
-            payload_checks = [c for c in row_checks if c.kind.startswith("payload_")]
+            payload_checks = [
+                c for c in row_checks
+                if c.kind.startswith("payload_")
+                and c.kind not in _media_row_kinds
+            ]
             requested = [
                 c.params["mode"] for c in payload_checks
                 if c.params.get("mode") in strength
@@ -281,24 +322,34 @@ class SuiteRunner:
         else:
             # metadata-only / audio-free path: skip AUDIO payload checks and
             # generic checks that reference derived metric columns (no audio
-            # decode means those columns don't exist); image kinds survive
-            # here when payload=True — their decode pass runs below
+            # decode means those columns don't exist); image/video kinds
+            # survive here when payload=True — their decode passes run below
             row_checks = [
                 c for c in row_checks
                 if (
                     payload
-                    and (c.kind in IMAGE_ROW_KINDS or _references_image(c))
+                    and (
+                        c.kind in _media_row_kinds
+                        or _references_image(c)
+                        or _references_video(c)
+                    )
                 )
                 or (
-                    c.kind not in IMAGE_ROW_KINDS
+                    c.kind not in _media_row_kinds
                     and not c.kind.startswith("payload_")
                     and not _references_metric(c)
                     and not _references_image(c)
+                    and not _references_video(c)
                 )
             ]
-            # an image-only media table may carry its payload in 'bytes' —
-            # the image pass below consumes (and drops) it itself
-            if not image_checks or _image_payload_col(image_checks) != "bytes":
+            # a media-only table may carry its payload in 'bytes' — the
+            # image/video pass below consumes (and drops) it itself
+            media_owns_bytes = (
+                image_checks and _image_payload_col(image_checks) == "bytes"
+            ) or (
+                video_checks and _video_payload_col(video_checks) == "bytes"
+            )
+            if not media_owns_bytes:
                 df = df.drop("bytes")
         if image_checks:
             from doc_quality_check_spark.functions.media import with_image_metrics
@@ -321,6 +372,26 @@ class SuiteRunner:
             # very wide media table should split modalities into separate
             # suites/tables to keep each binary column inside its own scan.
             df = with_image_metrics(df, payload_col=img_col)
+        if video_checks:
+            from doc_quality_check_spark.functions.media import (
+                with_video_metrics,
+            )
+
+            vid_col = _video_payload_col(video_checks)
+            if vid_col not in df.columns:
+                raise ValueError(
+                    f"video checks reference missing column {vid_col!r}"
+                    + (
+                        " (consumed by an earlier decode — video checks "
+                        "must target their own payload column)"
+                        if vid_col == "bytes"
+                        and (needs_payload or image_checks)
+                        else ""
+                    )
+                )
+            # one bounded mapInPandas pass (container metadata + <=3
+            # sampled frames per row); vid_col is dropped inside
+            df = with_video_metrics(df, payload_col=vid_col)
         df = with_row_checks(df, row_checks).persist()
 
         id_col = "clip_id"
@@ -388,6 +459,7 @@ class SuiteRunner:
                 if payload and (
                     missing & DERIVED_METRIC_COLUMNS
                     or missing & set(IMAGE_METRIC_COLUMNS)
+                    or missing & set(VIDEO_METRIC_COLUMNS)
                 ):
                     src = full_clips if resuming else clips
                     if missing & DERIVED_METRIC_COLUMNS:
@@ -404,6 +476,17 @@ class SuiteRunner:
                             src,
                             payload_col=_image_payload_col(image_checks)
                             if image_checks
+                            else "bytes",
+                        )
+                    if missing & set(VIDEO_METRIC_COLUMNS):
+                        from doc_quality_check_spark.functions.media import (
+                            with_video_metrics,
+                        )
+
+                        src = with_video_metrics(
+                            src,
+                            payload_col=_video_payload_col(video_checks)
+                            if video_checks
                             else "bytes",
                         )
                     resume_cache = src.persist()

@@ -14,9 +14,11 @@ Row-level (compile to a boolean ``Column``; failures become violation rows):
   ``not_null | min | max | in_range | isin | regex_match | regex_not_match |
   expr | payload_energy | payload_decode | payload_sr_consistency |
   payload_dur_consistency | payload_clipping | transcript_match |
-  payload_image_decode | image_luma_range``
-(the two image kinds validate an image-bytes column via one
-``with_image_metrics`` decode pass — functions/media.py)
+  payload_image_decode | image_luma_range |
+  payload_video_decode | video_frame_rate | video_luma_range``
+(the image kinds validate an image-bytes column via one
+``with_image_metrics`` decode pass, the video kinds a video-bytes column
+via one ``with_video_metrics`` pass — functions/media.py)
 Table-level (evaluated by the runner as aggregates / joins; schema_match
 is pure metadata — no job):
   ``unique | referential | row_count_min | completeness_min | drift_psi |
@@ -57,11 +59,21 @@ ROW_LEVEL_KINDS = {
     "transcript_match",
     "payload_image_decode",
     "image_luma_range",
+    "payload_video_decode",
+    "video_frame_rate",
+    "video_luma_range",
 }
 
 # row-level kinds that require an IMAGE payload decode (media.py), as
 # opposed to the audio payload_* kinds served by with_payload_metrics
 IMAGE_ROW_KINDS = {"payload_image_decode", "image_luma_range"}
+
+# row-level kinds that require a VIDEO payload decode (with_video_metrics)
+VIDEO_ROW_KINDS = {
+    "payload_video_decode",
+    "video_frame_rate",
+    "video_luma_range",
+}
 
 TABLE_LEVEL_KINDS = {
     "unique",

@@ -7,6 +7,10 @@
 - ``payload_image_decode`` / ``image_luma_range`` (row-level): validate an
   image-bytes column through ONE with_image_metrics decode pass
   (functions/media.py).
+- ``payload_video_decode`` / ``video_frame_rate`` / ``video_luma_range``
+  (row-level, round 5): validate a video-bytes column through ONE bounded
+  with_video_metrics pass (container metadata + <=3 sampled frames; Y4M
+  and MJPEG-AVI decode for real).
 """
 
 import struct
@@ -283,4 +287,125 @@ def test_multimodal_example(spark, tmp_path):
     f = frames.collect()
     assert all(r["decode_ok"] for r in f)
     assert {r["media_id"] for r in f} == {"m0", "m1", "m2"}
+    res.unpersist()
+
+
+@pytest.fixture(scope="module")
+def video_table(spark):
+    """Round-5 video check-kind fixtures: good MJPEG-AVI + Y4M, an
+    all-dark stream, an over-cranked frame rate, an inter-frame codec
+    stub, and a corrupt container."""
+    from doc_quality_check_spark.functions.media import (
+        encode_avi_mjpeg,
+        encode_y4m,
+    )
+
+    def frames(v, n=4, h=16, w=24):
+        return [np.full((h, w), v, dtype=np.uint8) for _ in range(n)]
+
+    avi_ok = encode_avi_mjpeg(frames(120), fps=(10, 1))
+    y4m_ok = encode_y4m(frames(80), fps=(25, 1))
+    dark = encode_y4m(frames(2), fps=(25, 1))
+    cranked = encode_avi_mjpeg(frames(120), fps=(240, 1))
+    fake264 = bytearray(encode_avi_mjpeg(frames(120, n=1)))
+    i = bytes(fake264).index(b"MJPG")
+    fake264[i : i + 4] = b"H264"
+    rows = [
+        ("avi_ok", bytearray(avi_ok)),
+        ("y4m_ok", bytearray(y4m_ok)),
+        ("dark", bytearray(dark)),
+        ("cranked", bytearray(cranked)),
+        ("h264", bytes(fake264)),
+        ("corrupt", bytearray(avi_ok[:50])),
+    ]
+    return spark.createDataFrame(rows, "clip_id string, bytes binary")
+
+
+def test_video_checks_pass_and_violate(video_table):
+    suite = CheckSuite(
+        name="video_suite",
+        checks=[
+            Check("vid_decodes", "payload_video_decode", "bytes",
+                  priority=1),
+            Check("vid_fps_sane", "video_frame_rate", "bytes",
+                  {"min": 1.0, "max": 60.0}, priority=2),
+            Check("vid_luma_sane", "video_luma_range", "bytes",
+                  {"min": 10.0, "max": 245.0}, priority=3),
+        ],
+    )
+    res = SuiteRunner(suite).run(video_table, payload=True)
+    checked = {r["clip_id"]: r for r in res.checked.collect()}
+
+    assert "bytes" not in res.checked.columns  # binary never leaves the scan
+    assert checked["avi_ok"]["vid_width"] == 24
+    assert checked["avi_ok"]["vid_height"] == 16
+    assert checked["avi_ok"]["vid_n_frames"] == 4
+    assert abs(checked["avi_ok"]["vid_fps"] - 10.0) < 1e-9
+    assert abs(checked["avi_ok"]["vid_luma_mean"] - 120.0) <= 1.0
+    assert checked["y4m_ok"]["vid_luma_mean"] == 80.0  # Y4M is lossless
+    assert checked["h264"]["vid_error"].startswith("stub:")
+    assert checked["corrupt"]["vid_error"] is not None
+
+    viols = {
+        (r["clip_id"], r["constraint_id"]) for r in res.violations.collect()
+    }
+    assert viols == {
+        ("h264", "vid_decodes"),
+        ("corrupt", "vid_decodes"),
+        ("cranked", "vid_fps_sane"),
+        ("dark", "vid_luma_sane"),
+    }
+    # gating: undecodable rows fail decode ONLY (single-sourced reasons)
+    assert checked["h264"]["passed__vid_fps_sane"]
+    assert checked["h264"]["reason"] == "vid_decodes"
+    assert checked["cranked"]["reason"] == "vid_fps_sane"
+    assert checked["dark"]["reason"] == "vid_luma_sane"
+
+    verdicts = {r["constraint_id"]: r for r in res.verdicts.collect()}
+    assert verdicts["vid_decodes"]["n_violations"] == 2
+    assert verdicts["vid_fps_sane"]["n_violations"] == 1
+    assert verdicts["vid_luma_sane"]["n_violations"] == 1
+    res.unpersist()
+
+
+def test_video_checks_skipped_without_payload(video_table):
+    suite = CheckSuite(
+        name="video_meta_only",
+        checks=[
+            Check("id_present", "not_null", "clip_id"),
+            Check("vid_decodes", "payload_video_decode", "bytes"),
+            Check("vid_fps_sane", "video_frame_rate", "bytes",
+                  {"min": 1.0, "max": 60.0}),
+        ],
+    )
+    res = SuiteRunner(suite).run(video_table, payload=False)
+    cids = {r["constraint_id"] for r in res.verdicts.collect()}
+    assert cids == {"id_present"}
+    res.unpersist()
+
+
+def test_generic_checks_reference_video_metrics(spark, video_table):
+    """Generic in_range/expr checks on vid_* columns trigger the video
+    decode pass exactly like img_*/audio metric references do."""
+    suite = CheckSuite(
+        name="video_generic",
+        checks=[
+            Check("enough_frames", "in_range", "vid_n_frames",
+                  {"min": 2, "max": 1000}),
+            Check("hd_or_smaller", "expr", None,
+                  {"expr": "vid_width <= 1920 AND vid_height <= 1080"}),
+        ],
+    )
+    res = SuiteRunner(suite).run(video_table, payload=True)
+    viols = {
+        (r["clip_id"], r["constraint_id"]) for r in res.violations.collect()
+    }
+    # undecodable rows have vid_n_frames=0 -> in_range fails (NULL-free
+    # int column, no decode gate for generic checks, same as audio);
+    # h264 single-frame stub also fails the floor
+    assert ("avi_ok", "enough_frames") not in viols
+    assert ("y4m_ok", "enough_frames") not in viols
+    assert ("corrupt", "enough_frames") in viols
+    assert not any(c == "hd_or_smaller" for _, c in viols
+                   if _ in ("avi_ok", "y4m_ok"))
     res.unpersist()
