@@ -10,12 +10,13 @@ format a real training-data table actually carries:
   spectral selection + successive approximation (T.81 Annex G, round 5) —
   AND both ARITHMETIC modes (SOF9 sequential + SOF10 progressive: the
   Annex D QM-coder with Annex F/G decision models in :mod:`jpeg_arith`,
-  round 5). Returns the LUMA plane — the engine's image metrics (ink
-  ratio, mean luma) are luma-only, so chroma blocks are entropy-decoded
-  (the bitstream demands it) but skip IDCT. 12-bit precision decodes too
-  (level shift / clip at the native range, luma reduced to 8 bits); only
-  lossless/hierarchical modes raise NotImplementedError → in-band error
-  rows downstream.
+  round 5) — AND LOSSLESS (SOF3, Annex H predictors, round 5). Returns
+  the LUMA plane — the engine's image metrics (ink ratio, mean luma) are
+  luma-only, so chroma blocks are entropy-decoded (the bitstream demands
+  it) but skip IDCT. 12-bit precision decodes too (level shift / clip at
+  the native range, luma reduced to 8 bits; lossless takes any 2..16);
+  only arithmetic-lossless (SOF11) and hierarchical modes raise
+  NotImplementedError → in-band error rows downstream.
 - :func:`encode_jpeg_gray`: a real baseline encoder (forward DCT +
   ITU T.81 Annex K tables) used as the deterministic fixture generator,
   the role ``encode_wav_pcm16`` plays for audio. ``chroma420=True`` wraps
@@ -314,6 +315,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     restart_interval = 0
     progressive = False
     arithmetic = False
+    lossless = False
     conditioning: dict = {}  # DAC: ('dc',id)->(L,U), ('ac',id)->Kx
     frame_precision = 8
     prog: _ProgState | None = None  # coefficient accumulator across scans
@@ -345,12 +347,17 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     ).astype(np.int64)
                     i += 128
                 qt[tq_id] = tbl.astype(np.int64)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended / SOF2 progressive (Huffman)
-            # / SOF9 extended sequential / SOF10 progressive (arithmetic,
-            # the Annex D QM-coder in jpeg_arith)
+            # / SOF3 lossless (Annex H predictors) / SOF9 extended
+            # sequential + SOF10 progressive (arithmetic, the Annex D
+            # QM-coder in jpeg_arith)
             precision = seg[0]
-            if precision not in (8, 12):
+            lossless = marker == 0xC3
+            ok_precision = (
+                2 <= precision <= 16 if lossless else precision in (8, 12)
+            )
+            if not ok_precision:
                 raise NotImplementedError(
                     f"JPEG {precision}-bit precision not supported"
                 )
@@ -364,11 +371,11 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
             frame_precision = precision
             progressive = marker in (0xC2, 0xCA)
             arithmetic = marker in (0xC9, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG frame type 0x{marker:02X} not supported "
-                "(lossless / hierarchical)"
+                "(arithmetic-lossless / hierarchical)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -424,6 +431,18 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                     ss, se, ahal >> 4, ahal & 0x0F, restart_interval,
                 )
                 continue
+            if lossless:
+                # Annex H: Ss = predictor selector, Al = point transform
+                sel = seg[1 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 0x0F
+                scan = []
+                for s in range(ns):
+                    cs, tds = seg[1 + 2 * s : 3 + 2 * s]
+                    scan.append((byid[cs], huff[(0, tds >> 4)]))
+                return _decode_lossless_scan(
+                    buf, segend, frame, scan, sel, pt, frame_precision,
+                    restart_interval,
+                )
             if arithmetic:
                 from doc_quality_check_spark.functions.jpeg_arith import (
                     decode_arith_scan,
@@ -538,6 +557,143 @@ def _decode_scan(buf, pos, frame, scan, qt, restart_interval, precision=8):
             np.repeat(plane, -(-h // ch), axis=0), -(-w // cw), axis=1
         )[:h, :w]
     return int(w), int(h), plane.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# lossless decoding (T.81 Annex H: predictor residuals, no DCT). SOF3 is
+# the Huffman-coded lossless mode — the DICOM/medical-imaging workhorse.
+# One sample per MCU; the seven spatial predictors (H.1.2.1) feed DC-style
+# Huffman categories (SSSS up to 16, where 16 codes diff=32768 with no
+# extension bits) and reconstruction wraps modulo 65536.
+
+
+def _lossless_predict(cur, prev, x, y, sel, default):
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(cur[x - 1])
+    if x == 0:
+        return int(prev[x])
+    ra, rb, rc = int(cur[x - 1]), int(prev[x]), int(prev[x - 1])
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"lossless predictor selector {sel} not in 1..7")
+
+
+def _decode_lossless_scan(
+    buf, pos, frame, scan, sel, pt, precision, restart_interval
+):
+    """Decode an SOF3 scan → (width, height, 8-bit component-0 plane).
+    ``scan``: [(comp_index, huffman_table), ...]. All components decode
+    (the bitstream interleaves them); component 0 is returned, reduced to
+    8 bits for the engine's luma-only metrics."""
+    w, h, comps = frame
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled components not supported"
+        )
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in lossless JPEG scans not supported"
+        )
+    rd = _BitReader(buf, pos)
+    default = 1 << (precision - pt - 1)
+    ncomp = len(scan)
+    prev = [np.zeros(w, dtype=np.int64) for _ in range(ncomp)]
+    cur = [np.zeros(w, dtype=np.int64) for _ in range(ncomp)]
+    out0 = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            for si, (ci, tab) in enumerate(scan):
+                t = rd.decode_huff(tab)
+                if t == 16:
+                    d = 32768  # H.2: SSSS=16 carries no extension bits
+                else:
+                    d = _extend(rd.receive(t), t)
+                p = _lossless_predict(cur[si], prev[si], x, y, sel, default)
+                cur[si][x] = (p + d) & 0xFFFF
+        for si, (ci, _tab) in enumerate(scan):
+            if ci == 0:
+                out0[y] = cur[si]
+            prev[si], cur[si] = cur[si], prev[si]
+    plane = out0 << pt  # undo the point transform (H.2.1)
+    if precision > 8:
+        plane >>= precision - 8
+    return int(w), int(h), plane.astype(np.uint8).reshape(-1)
+
+
+# a 17-symbol canonical table (categories 0..16, all 5-bit codes) — the
+# Annex-K DC table stops at category 11, too small for 16-bit residuals
+LOSSLESS_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+LOSSLESS_VALS = list(range(17))
+
+
+def encode_jpeg_gray_lossless(
+    pixels: np.ndarray, predictor: int = 4, precision: int = 8,
+    pt: int = 0,
+) -> bytes:
+    """Encode an (h, w) plane as a LOSSLESS (SOF3) JPEG — the fixture
+    twin of the Annex-H decoder. decode(encode(img)) reproduces the input
+    EXACTLY at 8-bit precision (higher precisions reduce to 8-bit luma on
+    decode, so they roundtrip through ``img >> (P-8)``)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2..16")
+    plane = np.asarray(pixels).astype(np.int64)
+    if plane.ndim != 2:
+        raise ValueError("encode_jpeg_gray_lossless expects (h, w)")
+    if plane.size and (
+        int(plane.max()) >= (1 << precision) or int(plane.min()) < 0
+    ):
+        raise ValueError("sample out of range for the declared precision")
+    h, w = plane.shape
+    if pt:
+        plane = plane >> pt
+    tab = _build_encode_table(LOSSLESS_BITS, LOSSLESS_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xC3, struct.pack(">BHHB", precision, h, w, 1)
+                + bytes([1, 0x11, 0]))
+    out += _dht_seg(0, 0, LOSSLESS_BITS, LOSSLESS_VALS)
+    out += _seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    wr = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    prev = np.zeros(w, dtype=np.int64)
+    cur = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            p = _lossless_predict(cur, prev, x, y, predictor, default)
+            cur[x] = int(plane[y, x])
+            d = (int(plane[y, x]) - p) & 0xFFFF
+            if d >= 32768:
+                d -= 65536
+            if d == -32768:
+                code, length = tab[16]
+                wr.write(code, length)  # SSSS=16: no extension bits
+                continue
+            t = 0 if d == 0 else abs(d).bit_length()
+            code, length = tab[t]
+            wr.write(code, length)
+            if t:
+                wr.write(d if d > 0 else d + (1 << t) - 1, t)
+        prev, cur = cur, prev
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

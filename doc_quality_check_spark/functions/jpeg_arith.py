@@ -5,9 +5,9 @@ scratch (stdlib + numpy).
 This closes the engine's JPEG entropy-coding surface: baseline/extended
 Huffman (jpeg.py), progressive Huffman (Annex G, jpeg.py), extended
 sequential ARITHMETIC (SOF9), and PROGRESSIVE ARITHMETIC (SOF10) — every
-DCT-based T.81 mode. Only lossless (SOF3/SOF11) and hierarchical modes
-remain declared NotImplementedError: different (non-DCT) algorithms,
-vanishingly rare in the wild.
+DCT-based T.81 mode (Huffman LOSSLESS SOF3 lives in jpeg.py). Only
+arithmetic-lossless (SOF11) and hierarchical modes remain declared
+NotImplementedError: vanishingly rare in the wild.
 
 Design notes (all public knowledge — ITU-T T.81 Annexes D and F):
 

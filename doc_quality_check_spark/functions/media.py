@@ -12,9 +12,10 @@ provides the Spark-side plumbing — typed metadata schema, Arrow-batched
 - JPEG decodes via :mod:`doc_quality_check_spark.functions.jpeg`
   (from-scratch Huffman + dequant + IDCT; baseline grayscale and YCbCr
   4:4:4/4:2:2/4:2:0, progressive SOF2, 12-bit SOF1, arithmetic SOF9 and
-  SOF10 via the Annex D QM-coder in ``jpeg_arith``, restart markers) —
-  every DCT-based T.81 mode. Only lossless/hierarchical modes raise
-  NotImplementedError → in-band error rows.
+  SOF10 via the Annex D QM-coder in ``jpeg_arith``, LOSSLESS SOF3 with
+  all seven Annex-H predictors, restart markers) — every DCT-based T.81
+  mode plus Huffman lossless. Only arithmetic-lossless (SOF11) and
+  hierarchical modes raise NotImplementedError → in-band error rows.
 - ``FAKEIMG`` (magic + width + height + raw grayscale bytes) remains as the
   deterministic fixture format.
 - VIDEO: YUV4MPEG2 (Y4M) streams decode for real (stdlib parser —
@@ -311,9 +312,9 @@ def _luma(rgb: np.ndarray) -> np.ndarray:
 
 def _decode_one(buf: bytes) -> tuple[int, int, np.ndarray]:
     """bytes → (width, height, grayscale array). PNG (all legal depths,
-    incl. Adam7) and JPEG (every DCT-based mode: baseline, progressive,
-    12-bit, sequential + progressive arithmetic) are real from-scratch
-    decoders; lossless/hierarchical JPEG raises NotImplementedError
+    incl. Adam7) and JPEG (baseline, progressive, 12-bit, sequential +
+    progressive arithmetic, lossless) are real from-scratch decoders;
+    arithmetic-lossless/hierarchical JPEG raises NotImplementedError
     (in-band error row downstream)."""
     if buf is None or len(buf) == 0:
         return 0, 0, np.zeros(0, dtype=np.uint8)  # empty-input default row

@@ -84,16 +84,17 @@ def test_jpeg_error_paths():
         decode_jpeg(b"\x00\x01not a jpeg")
     img = _smooth(16, 16)
     buf = bytearray(encode_jpeg_gray(img, quality=90))
-    # flip SOF0 (FFC0) to SOF3 (FFC3): lossless is a declared stub (all
-    # four sequential/progressive entropy modes decode for real now)
+    # flip SOF0 (FFC0) to SOF11 (FFCB): arithmetic-lossless stays a
+    # declared stub (every Huffman mode + both DCT-arithmetic modes are
+    # real now)
     i = bytes(buf).find(b"\xff\xc0")
-    buf[i + 1] = 0xC3
+    buf[i + 1] = 0xCB
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(buf))
-    # a baseline stream merely RELABELED SOF2/SOF10 is malformed
-    # progressive (its single scan spans Ss=0..Se=63): clear error, not
-    # garbage pixels
-    for relabel in (0xC2, 0xCA):
+    # a baseline stream merely RELABELED SOF2/SOF10/SOF3 is malformed for
+    # that mode (progressive: single scan spans Ss=0..Se=63; lossless:
+    # Ss=0 is an invalid predictor): clear error, not garbage pixels
+    for relabel in (0xC2, 0xCA, 0xC3):
         buf[i + 1] = relabel
         with pytest.raises(ValueError):
             decode_jpeg(bytes(buf))
@@ -532,3 +533,82 @@ def test_jpeg_arithmetic_corrupt_streams_terminate():
                 decode_jpeg(bytes(base[:cut]))
             except Exception:
                 pass
+
+
+def test_jpeg_lossless_exact_roundtrip():
+    """LOSSLESS JPEG (SOF3, T.81 Annex H): decode(encode(img)) == img
+    EXACTLY for every predictor selector 1..7 — no quantization anywhere.
+    The DICOM-world mode; completes non-arithmetic T.81 coverage."""
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray_lossless,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (23, 37), dtype=np.uint8)
+    for sel in range(1, 8):
+        buf = encode_jpeg_gray_lossless(img, predictor=sel)
+        w, h, p = decode_jpeg(buf)
+        assert (w, h) == (37, 23)
+        assert np.array_equal(p.reshape(23, 37), img), f"predictor {sel}"
+    # the frame really is SOF3 on the wire; predictors beat raw size on
+    # smooth content
+    smooth = _smooth(40, 56)
+    b = encode_jpeg_gray_lossless(smooth, predictor=4)
+    assert b"\xff\xc3" in b.split(b"\xff\xda")[0]
+    assert len(b) < smooth.size
+    assert np.array_equal(decode_jpeg(b)[2].reshape(40, 56), smooth)
+
+
+def test_jpeg_lossless_precision_and_wrap():
+    """High-precision lossless: 12/16-bit planes reduce to 8-bit luma on
+    decode; the modulo-65536 wrap path (SSSS=16, no extension bits) and
+    the point transform (Al=Pt) both roundtrip."""
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray_lossless,
+    )
+
+    rng = np.random.default_rng(22)
+    # alternating 0 / 32768+7 with predictor 1 forces diff == -32768
+    img16 = np.zeros((4, 6), dtype=np.uint16)
+    img16[:, 1::2] = 32768 + 7
+    b16 = encode_jpeg_gray_lossless(img16, predictor=1, precision=16)
+    assert np.array_equal(
+        decode_jpeg(b16)[2].reshape(4, 6), (img16 >> 8).astype(np.uint8)
+    )
+    img12 = rng.integers(0, 4096, (9, 11)).astype(np.uint16)
+    b12 = encode_jpeg_gray_lossless(img12, predictor=7, precision=12)
+    assert np.array_equal(
+        decode_jpeg(b12)[2].reshape(9, 11), (img12 >> 4).astype(np.uint8)
+    )
+    img8 = rng.integers(0, 256, (8, 9), dtype=np.uint8)
+    bpt = encode_jpeg_gray_lossless(img8, predictor=2, pt=2)
+    assert np.array_equal(
+        decode_jpeg(bpt)[2].reshape(8, 9), (img8 >> 2) << 2
+    )
+    with pytest.raises(ValueError):
+        encode_jpeg_gray_lossless(img8, predictor=9)
+    with pytest.raises(ValueError):
+        encode_jpeg_gray_lossless(
+            np.full((4, 4), 300, np.uint16), precision=8
+        )
+
+
+@given(
+    h=st.integers(1, 32),
+    w=st.integers(1, 32),
+    seed=st.integers(0, 10_000),
+    predictor=st.integers(1, 7),
+)
+@settings(max_examples=14, deadline=None)
+def test_jpeg_lossless_property(h, w, seed, predictor):
+    """Property: ANY shape/content/predictor roundtrips bit-exactly."""
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray_lossless,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    w2, h2, p = decode_jpeg(encode_jpeg_gray_lossless(img, predictor))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(p.reshape(h, w), img)
