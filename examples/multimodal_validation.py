@@ -14,9 +14,12 @@ by hand), each capability pinned individually by the test suite:
                 from-scratch, stdlib-only: functions/media.py decode_png,
                 functions/jpeg.py decode_jpeg), plus a generic ``in_range``
                 on the derived ``img_ink_ratio`` metric.
-  3. VIDEO    — frame sampling over a YUV4MPEG2 column via
-                ``video_frame_sample`` (real stdlib Y4M parser): per-frame
-                luma means become plain columns a generic check can bound.
+  3. VIDEO    — ``payload_video_decode`` / ``video_frame_rate`` /
+                ``video_luma_range`` row kinds over a video column mixing
+                YUV4MPEG2 and COMPRESSED MJPEG-in-AVI payloads (both
+                decode for real, stdlib-only; the AVI container is
+                indexed, so only sampled frames are JPEG-decoded), plus
+                frame-level detail via ``video_frame_sample``.
 
 Mixed-modality plan note: the audio decode and the image decode are
 separate mapInPandas passes, so each binary column crosses exactly one
@@ -56,6 +59,8 @@ def _media_rows():
         x = synth_speechlike_pcm(seed, 8000, 400).astype(np.float64) * gain
         return np.clip(x, -1, 1).astype(np.float32)
 
+    from doc_quality_check_spark.functions.media import encode_avi_mjpeg
+
     grad = (np.add.outer(np.arange(16) * 8, np.arange(16) * 4) % 200 + 30
             ).astype(np.uint8)
     dark = np.full((8, 8), 3, dtype=np.uint8)
@@ -63,11 +68,16 @@ def _media_rows():
         [np.full((16, 16), 90, np.uint8), np.full((16, 16), 150, np.uint8)],
         fps=(2, 1),
     )
+    # COMPRESSED video: real JPEG frames in a RIFF/AVI container
+    avi = encode_avi_mjpeg(
+        [np.full((16, 16), 90, np.uint8), np.full((16, 16), 150, np.uint8)],
+        fps=(2, 1),
+    )
     rows = [
         ("m0", bytearray(encode_wav_pcm16(pcm(7), 8000)),
          bytearray(encode_png_gray(grad)), bytearray(y4m), "pcm_s16le"),
         ("m1", bytearray(encode_wav_pcm16(pcm(7, gain=0.5), 8000)),  # near-dup of m0
-         bytearray(encode_jpeg_gray(grad, quality=90)), bytearray(y4m),
+         bytearray(encode_jpeg_gray(grad, quality=90)), bytearray(avi),
          "pcm_s16le"),
         ("m2", bytearray(encode_wav_pcm16(pcm(21), 8000)),
          bytearray(encode_jpeg_gray(dark, quality=90)), bytearray(y4m),
@@ -105,6 +115,14 @@ def run_multimodal(spark, out_dir: str):
                   {"min": 10.0, "max": 245.0}, priority=4),
             Check("img_ink", "in_range", "img_ink_ratio",
                   {"min": 0.0, "max": 1.0}, priority=5),
+            # video: Y4M and compressed MJPEG-AVI both decode for real;
+            # fps and sampled-frame luma bounded declaratively (round 5)
+            Check("vid_decodes", "payload_video_decode", "video",
+                  priority=6),
+            Check("vid_fps", "video_frame_rate", "video",
+                  {"min": 1.0, "max": 60.0}, priority=7),
+            Check("vid_luma", "video_luma_range", "video",
+                  {"min": 10.0, "max": 245.0}, priority=8),
         ],
     )
     res = SuiteRunner(suite).run(media, payload=True)

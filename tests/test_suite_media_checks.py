@@ -280,6 +280,11 @@ def test_multimodal_example(spark, tmp_path):
     assert verdicts["audio_dup_rate"]["n_violations"] == 1
     assert verdicts["img_decodes"]["passed"]
     assert not verdicts["img_luma"]["passed"]  # the too-dark JPEG
+    # round 5: the video column (Y4M + compressed MJPEG-AVI) validates
+    # declaratively and everything is in bounds
+    assert verdicts["vid_decodes"]["passed"]
+    assert verdicts["vid_fps"]["passed"]
+    assert verdicts["vid_luma"]["passed"]
     viols = {(r["clip_id"], r["constraint_id"])
              for r in res.violations.collect()}
     assert ("m1", "audio_dup_rate") in viols
