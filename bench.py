@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "lag_neighbor", "drift_psi", "drift_psi_by_group",
     # payload-level audio near-dup (decode + fingerprint + LSH pairing)
     "audio_neardup",
+    # video container decode + sampled-frame JPEG decode (round 5)
+    "video_frame_metrics",
     # training-pipeline operators (documents/embeddings tables)
     "dedup_jaccard", "dedup_jaccard_prefix", "dedup_minhash_lsh",
     "dedup_simhash",
