@@ -1457,12 +1457,13 @@ def q_audio_neardup(spark, sf):
 
 def q_image_decode_metrics(spark, sf):
     """Image-payload decode through the REAL codecs under the driver gate:
-    every document row synthesizes a small image executor-side — PNG for
-    even doc_ids, baseline JPEG for odd (functions/media.encode_png_gray /
-    functions/jpeg.encode_jpeg_gray), dimensions derived from doc_id — then
-    ONE image_metrics mapInPandas pass decodes them. The oracle recomputes
-    (width, height, decode_ok) from the same doc_id formulas in SQL, so a
-    codec regression (wrong dims, decode failure) hash-fails the driver
+    every document row synthesizes a small image executor-side — the
+    container rotates on doc_id % 4 through PNG, baseline JPEG,
+    ARITHMETIC JPEG (SOF9, round 5), and LOSSLESS JPEG (SOF3, round 5) —
+    dimensions derived from doc_id — then ONE image_metrics mapInPandas
+    pass decodes them. The oracle recomputes (width, height, decode_ok)
+    from the same doc_id formulas in SQL, so a codec regression (wrong
+    dims, decode failure) in ANY of the four paths hash-fails the driver
     row; pixel-level semantics stay pinned by tests/test_media_png.py and
     test_media_jpeg.py. Same two measured plan rules as q_audio_neardup:
     spread the tiny id set before the binary-emitting UDF, and checkpoint
@@ -1470,7 +1471,13 @@ def q_image_decode_metrics(spark, sf):
     stage (the 20x chained-binary-UDF pathology, BASELINE.md)."""
     import numpy as np
 
-    from doc_quality_check_spark.functions.jpeg import encode_jpeg_gray
+    from doc_quality_check_spark.functions.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_lossless,
+    )
+    from doc_quality_check_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith,
+    )
     from doc_quality_check_spark.functions.media import (
         encode_png_gray,
         image_metrics,
@@ -1484,17 +1491,19 @@ def q_image_decode_metrics(spark, sf):
 
     @F.pandas_udf("binary")
     def _synth(ids: pd.Series) -> pd.Series:
+        encoders = (
+            encode_png_gray,
+            lambda px: encode_jpeg_gray(px, quality=90),
+            lambda px: encode_jpeg_gray_arith(px, quality=90),
+            lambda px: encode_jpeg_gray_lossless(px, predictor=4),
+        )
         out = []
         for i in ids:
             i = int(i)
             w, h = 8 + i % 13, 8 + i % 7
             yy, xx = np.mgrid[0:h, 0:w]
             px = ((xx * 3 + yy * 5 + i) % 256).astype(np.uint8)
-            out.append(
-                encode_png_gray(px)
-                if i % 2 == 0
-                else encode_jpeg_gray(px, quality=90)
-            )
+            out.append(encoders[i % 4](px))
         return pd.Series(out)
 
     imgs = docs.select(
