@@ -608,6 +608,13 @@ def _decode_lossless_scan(
         raise NotImplementedError(
             "restart markers in lossless JPEG scans not supported"
         )
+    if all(ci != 0 for ci, _tab in scan):
+        # same rule as the DCT paths' non-luma first scan: only the first
+        # scan decodes, so component 0 would come back as silent zeros
+        raise NotImplementedError(
+            "multi-scan lossless JPEG with a non-first-component first "
+            "scan not supported (only the first SOS is decoded)"
+        )
     rd = _BitReader(buf, pos)
     default = 1 << (precision - pt - 1)
     ncomp = len(scan)
@@ -698,10 +705,10 @@ def encode_jpeg_gray_lossless(
 
 # ---------------------------------------------------------------------------
 # progressive decoding (T.81 Annex G: spectral selection + successive
-# approximation, Huffman entropy coding; sequential ARITHMETIC lives in
-# jpeg_arith.py, progressive-arithmetic stays NotImplementedError).
-# Control flow mirrors libjpeg's jdphuff.c — the publicly documented
-# reference decoder for the refinement bit protocol.
+# approximation, Huffman entropy coding; BOTH arithmetic modes — SOF9
+# sequential and SOF10 progressive — live in jpeg_arith.py). Control flow
+# mirrors libjpeg's jdphuff.c — the publicly documented reference decoder
+# for the refinement bit protocol.
 
 
 class _ProgState:

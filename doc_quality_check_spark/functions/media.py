@@ -470,11 +470,9 @@ def encode_y4m(
     return bytes(out)
 
 
-def decode_y4m(buf: bytes):
-    """Parse a YUV4MPEG2 stream → (width, height, fps_num, fps_den,
-    [luma planes]). Stdlib-only; supports the C420*/C422/C444/Cmono chroma
-    modes (chroma is skipped — the engine's metrics are luma-only).
-    Unknown chroma tags raise NotImplementedError → in-band error rows."""
+def _y4m_header(buf: bytes):
+    """Parse the stream header → (w, h, fn, fd, bits, ysize, csize,
+    data_start). Shared by the full decoder and the bounded samplers."""
     if buf[:9] != Y4M_MAGIC:
         raise ValueError("not a YUV4MPEG2 payload")
     nl = buf.find(b"\n")
@@ -516,9 +514,14 @@ def decode_y4m(buf: bytes):
         csize = 0
     else:
         raise NotImplementedError(f"Y4M chroma mode C{chroma} not supported")
-    ysize = h * w * bpsample
-    frames = []
-    pos = nl + 1
+    return w, h, fn, fd, bits, h * w * bpsample, csize, nl + 1
+
+
+def _y4m_frame_offsets(buf: bytes):
+    """Walk the FRAME markers → (header fields, [luma-plane offsets]).
+    O(n_frames) pointer arithmetic, zero plane copies."""
+    w, h, fn, fd, bits, ysize, csize, pos = _y4m_header(buf)
+    offsets = []
     n = len(buf)
     while pos < n:
         fnl = buf.find(b"\n", pos)
@@ -527,20 +530,52 @@ def decode_y4m(buf: bytes):
         pos = fnl + 1
         if pos + ysize + csize > n:
             raise ValueError("truncated Y4M frame")
-        if bits == 8:
-            plane = np.frombuffer(
-                buf, dtype=np.uint8, count=ysize, offset=pos
-            ).reshape(h, w).copy()
-        else:
-            plane = (
-                np.frombuffer(buf, dtype="<u2", count=h * w, offset=pos)
-                .reshape(h, w)
-                >> (bits - 8)
-            ).astype(np.uint8)
-        frames.append(plane)
+        offsets.append(pos)
         pos += ysize + csize
-    if not frames:
+    if not offsets:
         raise ValueError("Y4M stream has no frames")
+    return w, h, fn, fd, bits, ysize, offsets
+
+
+def _y4m_plane(buf, offset, w, h, bits) -> np.ndarray:
+    if bits == 8:
+        return np.frombuffer(
+            buf, dtype=np.uint8, count=h * w, offset=offset
+        ).reshape(h, w).copy()
+    return (
+        np.frombuffer(buf, dtype="<u2", count=h * w, offset=offset)
+        .reshape(h, w)
+        >> (bits - 8)
+    ).astype(np.uint8)
+
+
+def y4m_info(buf: bytes):
+    """(width, height, fps_num, fps_den, n_frames) without copying any
+    plane — the bounded-cost probe for sampling."""
+    w, h, fn, fd, _bits, _ysize, offsets = _y4m_frame_offsets(buf)
+    return w, h, fn, fd, len(offsets)
+
+
+def y4m_frame_planes(buf: bytes, indices) -> dict[int, np.ndarray]:
+    """Decode ONLY the requested frame indices → {index: luma plane}.
+    Memory stays bounded by len(indices), not stream length."""
+    w, h, _fn, _fd, bits, _ysize, offsets = _y4m_frame_offsets(buf)
+    return {
+        i: _y4m_plane(buf, offsets[i], w, h, bits)
+        for i in indices
+        if 0 <= i < len(offsets)
+    }
+
+
+def decode_y4m(buf: bytes):
+    """Parse a YUV4MPEG2 stream → (width, height, fps_num, fps_den,
+    [luma planes]). Stdlib-only; supports the C420*/C422/C444/Cmono chroma
+    modes (chroma is skipped — the engine's metrics are luma-only).
+    Unknown chroma tags raise NotImplementedError → in-band error rows.
+    Materializes EVERY frame; samplers should use :func:`y4m_info` +
+    :func:`y4m_frame_planes` for bounded cost."""
+    w, h, fn, fd, bits, _ysize, offsets = _y4m_frame_offsets(buf)
+    frames = [_y4m_plane(buf, off, w, h, bits) for off in offsets]
     return w, h, fn, fd, frames
 
 
@@ -640,7 +675,18 @@ def decode_avi_mjpeg(buf: bytes):
     w = h = None
     fn, fd = 25, 1
     handler = None
+    stream_idx = 0  # which strl list carries the video stream
     frames: list[bytes] = []
+
+    def scan_movi(pos, end, want):
+        # frames may sit directly in 'movi' or be grouped inside the
+        # AVI-spec LIST 'rec ' interleave chunks — recurse one level
+        for cc, s, sz in _riff_chunks(buf, pos, end):
+            if cc == b"LIST" and buf[s : s + 4] == b"rec ":
+                scan_movi(s + 4, s + sz, want)
+            elif cc[:2] == want and cc[2:] in (b"dc", b"db"):
+                frames.append(buf[s : s + sz])
+
     for fourcc, start, size in _riff_chunks(buf, 12, n):
         if start + size > n:
             raise ValueError("truncated AVI chunk")
@@ -648,27 +694,30 @@ def decode_avi_mjpeg(buf: bytes):
             continue
         listtype = buf[start : start + 4]
         if listtype == b"hdrl":
+            strl_idx = -1
             for cc, s, sz in _riff_chunks(buf, start + 4, start + size):
                 if cc == b"avih" and sz >= 40:
                     _, _, _, _, _, _, _, _, w, h = struct.unpack_from(
                         "<10I", buf, s
                     )
                 elif cc == b"LIST" and buf[s : s + 4] == b"strl":
+                    strl_idx += 1
                     for c2, s2, sz2 in _riff_chunks(buf, s + 4, s + sz):
                         if c2 == b"strh" and sz2 >= 36:
                             if buf[s2 : s2 + 4] != b"vids":
                                 continue
-                            handler = buf[s2 + 4 : s2 + 8]
-                            scale, rate = struct.unpack_from(
-                                "<II", buf, s2 + 20
-                            )
-                            if scale and rate:
-                                fn, fd = rate, scale
+                            if handler is None:
+                                handler = buf[s2 + 4 : s2 + 8]
+                                stream_idx = strl_idx
+                                scale, rate = struct.unpack_from(
+                                    "<II", buf, s2 + 20
+                                )
+                                if scale and rate:
+                                    fn, fd = rate, scale
         elif listtype == b"movi":
-            for cc, s, sz in _riff_chunks(buf, start + 4, start + size):
-                # '00dc'/'00db' = stream-0 compressed/uncompressed frame
-                if cc[2:] in (b"dc", b"db"):
-                    frames.append(buf[s : s + sz])
+            # chunk ids carry the 2-digit stream number ('00dc', '01wb',
+            # ...) — collect ONLY the video stream's frames
+            scan_movi(start + 4, start + size, b"%02d" % stream_idx)
     if handler not in (b"MJPG", b"mjpg", b"dmb1"):
         raise NotImplementedError(
             f"AVI video codec {handler!r} not supported (only MJPG; "
@@ -734,12 +783,12 @@ def with_video_metrics(
                 )
                 try:
                     if b[:9] == Y4M_MAGIC:
-                        w, h, fn, fd, frames = decode_y4m(b)
-                        nf = len(frames)
+                        w, h, fn, fd, nf = y4m_info(b)
                         fps = fn / fd
                         idxs = sorted({0, nf // 2, nf - 1})
+                        planes = y4m_frame_planes(b, idxs)
                         luma = float(
-                            np.mean([frames[i].mean() for i in idxs])
+                            np.mean([planes[i].mean() for i in idxs])
                         )
                         ok = True
                     elif b[:4] == AVI_MAGIC and b[8:12] == b"AVI ":
@@ -844,15 +893,22 @@ def video_frame_sample(
                 b = bytes(buf) if buf is not None else b""
                 if b[:9] == Y4M_MAGIC:
                     try:
-                        w, h, fn, fd, frames = decode_y4m(b)
+                        w, h, fn, fd, nf = y4m_info(b)
                         frame_ms = 1000.0 * fd / fn
-                        total_ms = len(frames) * frame_ms
+                        total_ms = nf * frame_ms
                         n = max(1, int(total_ms) // every_ms)
-                        for i in range(n):
-                            t = float(i * every_ms)
-                            fi = min(int(t / frame_ms), len(frames) - 1)
+                        samples = [
+                            (float(i * every_ms),
+                             min(int(i * every_ms / frame_ms), nf - 1))
+                            for i in range(n)
+                        ]
+                        # decode ONLY the sampled planes (bounded cost)
+                        planes = y4m_frame_planes(
+                            b, {fi for _t, fi in samples}
+                        )
+                        for t, fi in samples:
                             emit(mid, fi, t, True, w, h,
-                                 float(frames[fi].mean()), None)
+                                 float(planes[fi].mean()), None)
                     except NotImplementedError as exc:
                         emit(mid, 0, 0.0, False, None, None, None,
                              f"stub: {exc}")

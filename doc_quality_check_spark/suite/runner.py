@@ -115,39 +115,31 @@ class RunResult:
             df.unpersist()
 
 
-def _image_payload_col(image_checks) -> str:
-    """The image PAYLOAD column for the decode pass: named by the image row
-    kinds' ``.column``; generic checks referencing an img_* metric column
-    ride the same decode and default to ``bytes``."""
-    from doc_quality_check_spark.suite.spec import IMAGE_ROW_KINDS
-
-    cols = {
-        c.column or "bytes"
-        for c in image_checks
-        if c.kind in IMAGE_ROW_KINDS
-    } or {"bytes"}
+def _media_payload_col(checks, kinds, label: str) -> str:
+    """The PAYLOAD column for one modality's decode pass: named by that
+    modality's row kinds' ``.column``; generic checks referencing its
+    metric columns ride the same decode and default to ``bytes``."""
+    cols = {c.column or "bytes" for c in checks if c.kind in kinds} or {
+        "bytes"
+    }
     if len(cols) > 1:
         raise ValueError(
-            f"image checks must share one payload column, got {sorted(cols)}"
+            f"{label} checks must share one payload column, "
+            f"got {sorted(cols)}"
         )
     return cols.pop()
+
+
+def _image_payload_col(image_checks) -> str:
+    from doc_quality_check_spark.suite.spec import IMAGE_ROW_KINDS
+
+    return _media_payload_col(image_checks, IMAGE_ROW_KINDS, "image")
 
 
 def _video_payload_col(video_checks) -> str:
-    """The video PAYLOAD column for the decode pass — the video twin of
-    :func:`_image_payload_col`."""
     from doc_quality_check_spark.suite.spec import VIDEO_ROW_KINDS
 
-    cols = {
-        c.column or "bytes"
-        for c in video_checks
-        if c.kind in VIDEO_ROW_KINDS
-    } or {"bytes"}
-    if len(cols) > 1:
-        raise ValueError(
-            f"video checks must share one payload column, got {sorted(cols)}"
-        )
-    return cols.pop()
+    return _media_payload_col(video_checks, VIDEO_ROW_KINDS, "video")
 
 
 class SuiteRunner:
@@ -472,23 +464,38 @@ class SuiteRunner:
                             with_image_metrics,
                         )
 
-                        src = with_image_metrics(
-                            src,
-                            payload_col=_image_payload_col(image_checks)
+                        img_col = (
+                            _image_payload_col(image_checks)
                             if image_checks
-                            else "bytes",
+                            else "bytes"
                         )
+                        if img_col not in src.columns:
+                            raise ValueError(
+                                "image table checks reference missing "
+                                f"payload column {img_col!r}"
+                            )
+                        src = with_image_metrics(src, payload_col=img_col)
                     if missing & set(VIDEO_METRIC_COLUMNS):
                         from doc_quality_check_spark.functions.media import (
                             with_video_metrics,
                         )
 
-                        src = with_video_metrics(
-                            src,
-                            payload_col=_video_payload_col(video_checks)
+                        vid_col = (
+                            _video_payload_col(video_checks)
                             if video_checks
-                            else "bytes",
+                            else "bytes"
                         )
+                        if vid_col not in src.columns:
+                            # e.g. both modalities defaulting to 'bytes':
+                            # the image pass above already consumed it —
+                            # clean error, not an executor KeyError
+                            raise ValueError(
+                                "video table checks reference missing "
+                                f"payload column {vid_col!r} (consumed by "
+                                "an earlier decode pass — video checks "
+                                "must target their own payload column)"
+                            )
+                        src = with_video_metrics(src, payload_col=vid_col)
                     resume_cache = src.persist()
                     resume_cache.count()
                     table_df = resume_cache

@@ -500,3 +500,83 @@ def test_y4m_high_bit_depth_luma():
     bad = b"YUV4MPEG2 W2 H2 F1:1 C411\nFRAME\n" + bytes(6)
     with _pytest.raises(NotImplementedError):
         decode_y4m(bad)
+
+
+def test_avi_rec_lists_and_second_stream():
+    """Review fixes: frames grouped inside LIST 'rec ' interleave chunks
+    (the AVI-spec layout many muxers emit) decode, and a second stream's
+    chunks ('01wb' audio / '01db' DIB) never leak into the video frame
+    list."""
+    import struct as _s
+
+    import numpy as np
+
+    from doc_quality_check_spark.functions.jpeg import decode_jpeg
+    from doc_quality_check_spark.functions.media import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    frames = [np.full((16, 24), v, dtype=np.uint8) for v in (30, 90, 150)]
+    plain = encode_avi_mjpeg(frames, fps=(5, 1))
+    _w, _h, _fn, _fd, chunks = decode_avi_mjpeg(plain)
+
+    def chunk(cc, payload):
+        pad = b"\x00" if len(payload) & 1 else b""
+        return cc + _s.pack("<I", len(payload)) + payload + pad
+
+    def lst(listtype, payload):
+        return chunk(b"LIST", listtype + payload)
+
+    # rebuild the movi list: each frame inside its own LIST 'rec ' group,
+    # with an interleaved '01wb' audio chunk that must be ignored
+    pos = 12
+    movi_start = movi_size = None
+    while pos + 8 <= len(plain):
+        cc = plain[pos:pos + 4]
+        (size,) = _s.unpack_from("<I", plain, pos + 4)
+        if cc == b"LIST" and plain[pos + 8:pos + 12] == b"movi":
+            movi_start, movi_size = pos, size
+            break
+        pos += 8 + size + (size & 1)
+    assert movi_start is not None
+    head = plain[:movi_start]
+    tail = plain[movi_start + 8 + movi_size + (movi_size & 1):]
+    recs = b"".join(
+        lst(b"rec ", chunk(b"00dc", c) + chunk(b"01wb", b"\x01\x02\x03"))
+        for c in chunks
+    )
+    new_movi = lst(b"movi", recs)
+    body = head[12:] + new_movi + tail
+    rebuilt = b"RIFF" + _s.pack("<I", len(body) + 4) + b"AVI " + body
+
+    w, h, fn, fd, got = decode_avi_mjpeg(rebuilt)
+    assert (w, h, fn, fd, len(got)) == (24, 16, 5, 1, 3)
+    for src, c in zip(frames, got):
+        ww, hh, luma = decode_jpeg(c)
+        assert (ww, hh) == (24, 16)
+        assert abs(float(luma.mean()) - float(src.mean())) <= 1.0
+
+
+def test_y4m_bounded_sampling_helpers():
+    """Review fix: y4m_info walks offsets without copying planes and
+    y4m_frame_planes decodes only the requested indices — both agree with
+    the full decoder."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.media import (
+        decode_y4m,
+        encode_y4m,
+        y4m_frame_planes,
+        y4m_info,
+    )
+
+    frames = [np.full((16, 24), 10 * (i + 1), dtype=np.uint8)
+              for i in range(7)]
+    buf = encode_y4m(frames, fps=(3, 1))
+    assert y4m_info(buf) == (24, 16, 3, 1, 7)
+    full = decode_y4m(buf)[4]
+    picked = y4m_frame_planes(buf, {0, 3, 6, 99})  # 99 silently ignored
+    assert set(picked) == {0, 3, 6}
+    for i in (0, 3, 6):
+        assert np.array_equal(picked[i], full[i])
