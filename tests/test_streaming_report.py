@@ -580,3 +580,45 @@ def test_y4m_bounded_sampling_helpers():
     assert set(picked) == {0, 3, 6}
     for i in (0, 3, 6):
         assert np.array_equal(picked[i], full[i])
+
+
+def test_avi_mjpeg_roundtrip_property():
+    """Property: any frame count / even-ish dims / rational fps
+    roundtrips through the AVI container with exact metadata and
+    per-frame JPEG fidelity."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from doc_quality_check_spark.functions.jpeg import decode_jpeg
+    from doc_quality_check_spark.functions.media import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(1, 6),
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        fn=st.integers(1, 60000),
+        fd=st.integers(1, 1001),
+        seed=st.integers(0, 10_000),
+    )
+    def prop(n, h, w, fn, fd, seed):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)
+        ]
+        avi = encode_avi_mjpeg(frames, fps=(fn, fd), quality=90)
+        ww, hh, gfn, gfd, chunks = decode_avi_mjpeg(avi)
+        assert (ww, hh, gfn, gfd, len(chunks)) == (w, h, fn, fd, n)
+        for src, c in zip(frames, chunks):
+            dw, dh, luma = decode_jpeg(c)
+            assert (dw, dh) == (w, h)
+            # q=90 noise bound, same ceiling as the JPEG roundtrip property
+            err = np.abs(
+                luma.reshape(h, w).astype(int) - src.astype(int)
+            ).max()
+            assert err <= 40
+
+    prop()
