@@ -124,6 +124,194 @@ def encode_wav_pcmu8(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + data
 
 
+# ---------------------------------------------------------------------------
+# telephony / compressed WAV codecs (round 5): G.711 mu-law + A-law, IEEE
+# float, 24/32-bit PCM, IMA ADPCM. The DECODE expansions follow the classic
+# public-domain Sun g711.c formulas (the ITU G.711 reference shape); the
+# ENCODERS are correct by construction — they invert the decode table via
+# nearest-value search, so encode(x) always maps to the code whose decoded
+# value is closest to x (monotone, interop-safe, zero spec-memory risk).
+
+
+def _g711_decode_tables():
+    codes = np.arange(256, dtype=np.int64)
+    # mu-law expand (Sun g711.c ulaw2linear): 16-bit domain, max 32124
+    u = ~codes & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    # A-law expand (Sun g711.c alaw2linear): 16-bit domain, max 32256
+    a = codes ^ 0x55
+    seg = (a & 0x70) >> 4
+    q = (a & 0x0F) << 4
+    t = np.where(seg == 0, q + 8, (q + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t)
+    return ulaw.astype(np.int32), alaw.astype(np.int32)
+
+
+_ULAW_DECODE, _ALAW_DECODE = _g711_decode_tables()
+
+
+def _g711_encoder(decode_table: np.ndarray):
+    """Nearest-decoded-value inverse of a 256-entry expansion table:
+    (sorted values, code order, midpoint boundaries) for searchsorted."""
+    order = np.argsort(decode_table, kind="stable")
+    vals = decode_table[order].astype(np.int64)
+    mids = (vals[:-1] + vals[1:]) / 2.0
+    return order.astype(np.uint8), mids
+
+
+_ULAW_ENC_ORDER, _ULAW_ENC_MIDS = _g711_encoder(_ULAW_DECODE)
+_ALAW_ENC_ORDER, _ALAW_ENC_MIDS = _g711_encoder(_ALAW_DECODE)
+
+
+def _wav_header(sr_hz, tag, channels, bits, block_align, byte_rate,
+                data_len, extra=b""):
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sr_hz, byte_rate, block_align, bits
+    ) + extra
+    return (
+        struct.pack("<4sI4s", b"RIFF", 20 + len(fmt) + data_len, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", data_len)
+    )
+
+
+def _encode_g711(pcm, order, mids) -> bytes:
+    x = (np.clip(pcm, -1, 1) * 32767.0).astype(np.int64)
+    return order[np.searchsorted(mids, x)].tobytes()
+
+
+def encode_wav_mulaw(pcm: np.ndarray, sr_hz: int) -> bytes:
+    data = _encode_g711(pcm, _ULAW_ENC_ORDER, _ULAW_ENC_MIDS)
+    return _wav_header(sr_hz, 7, 1, 8, 1, sr_hz, len(data)) + data
+
+
+def encode_wav_alaw(pcm: np.ndarray, sr_hz: int) -> bytes:
+    data = _encode_g711(pcm, _ALAW_ENC_ORDER, _ALAW_ENC_MIDS)
+    return _wav_header(sr_hz, 6, 1, 8, 1, sr_hz, len(data)) + data
+
+
+def encode_wav_float32(pcm: np.ndarray, sr_hz: int) -> bytes:
+    data = np.clip(pcm, -1, 1).astype("<f4").tobytes()
+    return _wav_header(sr_hz, 3, 1, 32, 4, sr_hz * 4, len(data)) + data
+
+
+def encode_wav_pcm24(pcm: np.ndarray, sr_hz: int) -> bytes:
+    x = (np.clip(pcm, -1, 1) * 8388607.0).astype("<i4")
+    data = x.astype("<i4").tobytes()
+    # 24-bit little-endian: drop every 4th (sign-extension) byte
+    data = bytes(
+        b for i, b in enumerate(data) if i % 4 != 3
+    )
+    return _wav_header(sr_hz, 1, 1, 24, 3, sr_hz * 3, len(data)) + data
+
+
+# IMA/DVI ADPCM (WAV format tag 0x11), mono — the public step-table
+# algorithm (multimedia-wiki / IMA spec)
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64
+)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+
+
+def _ima_nibble_decode(n, pred, index):
+    step = int(_IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_TABLE[n])))
+    return pred, index
+
+
+def _ima_nibble_encode(sample, pred, index):
+    step = int(_IMA_STEP_TABLE[index])
+    delta = sample - pred
+    n = 8 if delta < 0 else 0
+    if n:
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    return n
+
+
+_IMA_BLOCK_ALIGN = 256  # bytes per mono block: 4 header + 252 nibble bytes
+
+
+def encode_wav_ima_adpcm(pcm: np.ndarray, sr_hz: int) -> bytes:
+    x = (np.clip(pcm, -1, 1) * 32767.0).astype(np.int64)
+    spb = (_IMA_BLOCK_ALIGN - 4) * 2 + 1  # samples per block incl. header
+    out = bytearray()
+    index = 0
+    for b0 in range(0, len(x), spb):
+        block = x[b0 : b0 + spb]
+        pred = int(block[0])
+        out += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in block[1:]:
+            n = _ima_nibble_encode(int(s), pred, index)
+            pred, index = _ima_nibble_decode(n, pred, index)
+            nibbles.append(n)
+        nibbles += [0] * (-len(nibbles) % 2)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))  # LOW nibble first (IMA/WAV layout)
+        out += b"\x00" * (_IMA_BLOCK_ALIGN - 4 - len(nibbles) // 2)
+    extra = struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+    n_samples = len(x)
+    hdr = _wav_header(sr_hz, 0x11, 1, 4, _IMA_BLOCK_ALIGN,
+                      sr_hz * _IMA_BLOCK_ALIGN // spb or sr_hz,
+                      len(out), extra)
+    # total decoded length rides a 'fact' chunk (required for compressed
+    # WAV) — splice it before 'data'
+    di = hdr.rindex(b"data")
+    hdr = (hdr[:4]
+           + struct.pack("<I", struct.unpack_from("<I", hdr, 4)[0] + 12)
+           + hdr[8:di]
+           + b"fact" + struct.pack("<II", 4, n_samples)
+           + hdr[di:])
+    return bytes(hdr) + bytes(out)
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int, n_samples: int | None):
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            break
+        pred, index, _r = struct.unpack_from("<hBB", block, 0)
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                pred, index = _ima_nibble_decode(n, pred, index)
+                out.append(pred)
+    pcm = np.array(out, dtype=np.float32) / 32767.0
+    if n_samples is not None:
+        pcm = pcm[:n_samples]
+    return pcm
+
+
 def encode_fake_flac(pcm: np.ndarray, sr_hz: int) -> bytes:
     """Deterministic FAKE container (no real FLAC lib in this environment).
 
@@ -150,6 +338,16 @@ def synth_clip_bytes(
         raw = encode_wav_pcmu8(pcm, enc_sr)
     elif codec == "flac":
         raw = encode_fake_flac(pcm, enc_sr)
+    elif codec == "mulaw":
+        raw = encode_wav_mulaw(pcm, enc_sr)
+    elif codec == "alaw":
+        raw = encode_wav_alaw(pcm, enc_sr)
+    elif codec == "pcm_f32le":
+        raw = encode_wav_float32(pcm, enc_sr)
+    elif codec == "pcm_s24le":
+        raw = encode_wav_pcm24(pcm, enc_sr)
+    elif codec == "adpcm_ima_wav":
+        raw = encode_wav_ima_adpcm(pcm, enc_sr)
     else:  # pcm_s16le and any unknown label default to WAV16
         raw = encode_wav_pcm16(pcm, enc_sr)
     if corrupt:
@@ -163,30 +361,87 @@ def synth_clip_bytes(
 
 
 def _parse_wav(buf: bytes):
-    """Minimal chunk-walking RIFF/WAV parser → (sr, float32 pcm). Raises on
-    malformed input (caught by the UDF → in-band error row)."""
+    """Chunk-walking RIFF/WAV parser → (sr, float32 pcm). Dispatches on the
+    fmt chunk's FORMAT TAG — PCM (8/16/24/32), IEEE float (32/64), G.711
+    mu-law/A-law, IMA ADPCM, and WAVE_FORMAT_EXTENSIBLE wrapping any of
+    them (round 5; previously the tag was ignored, silently mis-decoding a
+    telephony mu-law stream as unsigned PCM8). Raises on malformed/unknown
+    input (caught by the UDF → in-band error row)."""
     if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, sr, bits, channels, data = 12, None, None, 1, None
+    tag, block_align, fact_samples = 1, None, None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
-            _, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            tag, channels, sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if tag == 0xFFFE and len(body) >= 26:
+                # WAVE_FORMAT_EXTENSIBLE: effective tag = SubFormat GUID's
+                # first two bytes (body[24:26])
+                (tag,) = struct.unpack_from("<H", body, 24)
+        elif cid == b"fact" and len(body) >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if sr is None or data is None or not bits:
         raise ValueError("missing fmt/data chunk")
-    if bits == 16:
-        pcm = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float32) / 32767.0
-    elif bits == 8:
-        pcm = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
+    if tag == 1:  # integer PCM
+        if bits == 16:
+            pcm = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype(np.float32) / 32767.0
+        elif bits == 8:
+            pcm = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                   - 128.0) / 127.0
+        elif bits == 24:
+            raw = np.frombuffer(
+                data[: len(data) // 3 * 3], dtype=np.uint8
+            ).reshape(-1, 3).astype(np.int64)
+            x = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            x = np.where(x & 0x800000, x - 0x1000000, x)
+            pcm = x.astype(np.float32) / 8388607.0
+        elif bits == 32:
+            pcm = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<i4"
+            ).astype(np.float32) / 2147483647.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            pcm = np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<f4"
+            ).astype(np.float32)
+        elif bits == 64:
+            pcm = np.frombuffer(
+                data[: len(data) // 8 * 8], dtype="<f8"
+            ).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    elif tag == 7:  # G.711 mu-law
+        codes = np.frombuffer(data, dtype=np.uint8)
+        pcm = _ULAW_DECODE[codes].astype(np.float32) / 32767.0
+    elif tag == 6:  # G.711 A-law
+        codes = np.frombuffer(data, dtype=np.uint8)
+        pcm = _ALAW_DECODE[codes].astype(np.float32) / 32767.0
+    elif tag == 0x11:  # IMA/DVI ADPCM
+        if channels and channels != 1:
+            raise ValueError("multi-channel IMA ADPCM not supported")
+        if not block_align or block_align < 5:
+            raise ValueError("IMA ADPCM needs a block_align >= 5")
+        return int(sr), _decode_ima_adpcm(
+            bytes(data), int(block_align), fact_samples
+        )
     else:
-        raise ValueError(f"unsupported bit depth {bits}")
+        raise ValueError(f"unsupported WAV format tag 0x{tag:04X}")
     if channels and channels > 1:
-        pcm = pcm[: len(pcm) // channels * channels].reshape(-1, channels).mean(axis=1)
+        pcm = pcm[: len(pcm) // channels * channels].reshape(
+            -1, channels
+        ).mean(axis=1)
     return int(sr), pcm
 
 

@@ -258,3 +258,103 @@ def test_header_probe_real_flac_and_ogg_vorbis():
     # and junk stays rejected
     assert _probe_header(b"OggSjunkjunkjunkjunkjunkjunkjunk")[0] is False
     assert _probe_header(b"\x00" * 40)[0] is False
+
+
+def test_wav_format_tag_dispatch():
+    """Round 5: _parse_wav dispatches on the fmt chunk's FORMAT TAG —
+    G.711 mu-law/A-law (telephony), IEEE float32/64, 24/32-bit PCM, IMA
+    ADPCM, and WAVE_FORMAT_EXTENSIBLE wrappers all decode for real.
+    Previously the tag was ignored: a mu-law stream silently mis-decoded
+    as unsigned PCM8 (negative SNR) — pinned as the regression case."""
+    import struct
+
+    from doc_quality_check_spark.functions.audio import (
+        _parse_wav,
+        _wav_header,
+        encode_wav_alaw,
+        encode_wav_float32,
+        encode_wav_ima_adpcm,
+        encode_wav_mulaw,
+        encode_wav_pcm24,
+        synth_pcm,
+        synth_speechlike_pcm,
+    )
+
+    def snr(ref, rec):
+        n = min(len(ref), len(rec))
+        ref, rec = ref[:n], rec[:n]
+        return 10 * np.log10(
+            np.mean(ref**2) / max(np.mean((ref - rec) ** 2), 1e-20)
+        )
+
+    sine = synth_pcm(5, 8000, 600)
+    speech = synth_speechlike_pcm(9, 8000, 600)
+    cases = [
+        (encode_wav_mulaw, 30.0),   # G.711 quantization ~38 dB
+        (encode_wav_alaw, 30.0),
+        (encode_wav_float32, 100.0),
+        (encode_wav_pcm24, 90.0),
+        (encode_wav_ima_adpcm, 12.0),  # 4-bit codec: ~15 dB on multi-tone
+    ]
+    for enc, bound in cases:
+        for x in (sine, speech):
+            sr, dec = _parse_wav(enc(x, 8000))
+            assert sr == 8000 and len(dec) == len(x), enc.__name__
+            assert snr(x, dec) >= bound, (enc.__name__, snr(x, dec))
+
+    # the regression: mu-law relabeled as PCM (tag 1) decodes GARBAGE —
+    # proving the tag is load-bearing now
+    mu = encode_wav_mulaw(sine, 8000)
+    _, correct = _parse_wav(mu)
+    relabeled = bytearray(mu)
+    i = mu.index(b"fmt ") + 8
+    relabeled[i : i + 2] = (1).to_bytes(2, "little")
+    _, wrong = _parse_wav(bytes(relabeled))
+    assert snr(sine, correct) > 30 > snr(sine, wrong)
+
+    # WAVE_FORMAT_EXTENSIBLE: SubFormat GUID's first two bytes rule
+    guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+    data = (np.clip(sine, -1, 1) * 32767.0).astype("<i2").tobytes()
+    extra = struct.pack("<HHI", 22, 16, 0x4) + b"\x01\x00" + guid_tail
+    ext = _wav_header(8000, 0xFFFE, 1, 16, 2, 16000, len(data), extra) + data
+    sr, dec = _parse_wav(ext)
+    assert sr == 8000 and snr(sine, dec) > 80
+
+    # unknown tags fail loudly (in-band error row downstream)
+    bad = bytearray(mu)
+    bad[i : i + 2] = (0x55).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        _parse_wav(bytes(bad))
+
+
+def test_wav_new_codecs_through_spark(spark):
+    """The new codec payloads flow through the payload_decode check and
+    the derived metrics pass end-to-end (no stub/error rows)."""
+    from doc_quality_check_spark.functions.audio import (
+        encode_wav_alaw,
+        encode_wav_float32,
+        encode_wav_ima_adpcm,
+        encode_wav_mulaw,
+        synth_pcm,
+        with_audio_metrics,
+    )
+
+    pcm = synth_pcm(11, 8000, 500)
+    rows = [
+        ("mu", bytearray(encode_wav_mulaw(pcm, 8000)), 8000, 500, "mulaw", "x"),
+        ("al", bytearray(encode_wav_alaw(pcm, 8000)), 8000, 500, "alaw", "x"),
+        ("f32", bytearray(encode_wav_float32(pcm, 8000)), 8000, 500,
+         "pcm_f32le", "x"),
+        ("ima", bytearray(encode_wav_ima_adpcm(pcm, 8000)), 8000, 500,
+         "adpcm_ima_wav", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {r["clip_id"]: r for r in with_audio_metrics(df).collect()}
+    for cid in ("mu", "al", "f32", "ima"):
+        assert got[cid]["decode_ok"], (cid, got[cid])
+        assert got[cid]["header_sr"] == 8000
+        assert got[cid]["energy_ratio"] > 0.1
