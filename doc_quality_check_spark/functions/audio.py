@@ -23,10 +23,13 @@ and per-row work is numpy-vectorized over the sample arrays — no per-row
 Python object churn in the hot path (north rule).
 
 Synthesis (`synth_clip_bytes`) exists for deterministic fixtures only
-(FIXTURES.md §1): RIFF/WAV PCM16 + PCM-U8 are real encodings; 'flac' is a
-deliberately fake-but-deterministic container (magic b'fLaC' + raw PCM16)
-because no FLAC codec library is available in this environment — the decode
-*plumbing* (codec dispatch, header consistency, error rows) is real and tested.
+(FIXTURES.md §1): RIFF/WAV PCM16 + PCM-U8 (and, round 5, G.711
+mu-law/A-law, IEEE float, PCM24, IMA ADPCM, native FLAC via the
+'flac_native' label) are real encodings; the legacy 'flac' label keeps
+the deliberately fake-but-deterministic container (magic b'fLaC' + raw
+PCM16) for byte-stable golden fixtures — REAL native FLAC streams decode
+for real through functions/flac.py (from-scratch Rice/FIXED/LPC decoder
+with CRC verification), content-routed in decode_payload.
 """
 
 from __future__ import annotations
@@ -348,6 +351,10 @@ def synth_clip_bytes(
         raw = encode_wav_pcm24(pcm, enc_sr)
     elif codec == "adpcm_ima_wav":
         raw = encode_wav_ima_adpcm(pcm, enc_sr)
+    elif codec == "flac_native":
+        from doc_quality_check_spark.functions.flac import encode_flac
+
+        raw = encode_flac(pcm, enc_sr)
     else:  # pcm_s16le and any unknown label default to WAV16
         raw = encode_wav_pcm16(pcm, enc_sr)
     if corrupt:
@@ -456,15 +463,34 @@ def _parse_fake_flac(buf: bytes):
     return int(sr), pcm
 
 
+def _is_real_flac(b: bytes) -> bool:
+    """Real native FLAC vs the fixture's fake container, distinguished by
+    the STREAMINFO block header (type 0 + 24-bit BE length 34) — the same
+    byte-exact test the header probe uses."""
+    return (
+        len(b) >= 8
+        and b[:4] == _FAKE_FLAC_MAGIC
+        and (b[4] & 0x7F) == 0
+        and b[5:8] == b"\x00\x00\x22"
+    )
+
+
 def decode_payload(buf, codec: str):
     """bytes → (sr, pcm). Dispatches on codec label with container sniffing
     as fallback (the reference's mode-dispatcher analog,
-    confidence_check.py:421-455)."""
+    confidence_check.py:421-455). 'fLaC' payloads route by content: real
+    native FLAC streams (round 5, functions/flac.py — full Rice/FIXED/LPC
+    decoder with CRC verification) vs the deterministic fake fixture
+    container."""
     if buf is None or len(buf) == 0:
         # empty-input default row semantics (document_processor.py:126-134)
         return 0, np.zeros(0, dtype=np.float32)
     b = bytes(buf)
     if codec == "flac" or b[:4] == _FAKE_FLAC_MAGIC:
+        if _is_real_flac(b):
+            from doc_quality_check_spark.functions.flac import decode_flac
+
+            return decode_flac(b)
         return _parse_fake_flac(b)
     return _parse_wav(b)
 

@@ -358,3 +358,96 @@ def test_wav_new_codecs_through_spark(spark):
         assert got[cid]["decode_ok"], (cid, got[cid])
         assert got[cid]["header_sr"] == 8000
         assert got[cid]["energy_ratio"] > 0.1
+
+
+def test_flac_native_lossless_roundtrip():
+    """Round 5: REAL native FLAC (functions/flac.py). The lossless gate:
+    decode(encode(pcm)) is BIT-EXACT on the quantized int16 grid, across
+    mono/stereo, block-size codes (common 4096, uncommon 600 -> 16-bit
+    code + partial last block), constant (silence) subframes, and CRC-8/
+    CRC-16 self-validation catching corruption."""
+    from doc_quality_check_spark.functions.audio import (
+        synth_pcm,
+        synth_speechlike_pcm,
+    )
+    from doc_quality_check_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    def q16(x):
+        return np.clip(np.rint(np.clip(x, -1, 1) * 32767.0), -32768, 32767)
+
+    pcm = synth_pcm(5, 8000, 700)
+    buf = encode_flac(pcm, 8000)
+    sr, dec = decode_flac(buf)
+    assert sr == 8000
+    assert np.array_equal(q16(pcm), np.rint(dec.astype(np.float64) * 32767.0))
+
+    sp = synth_speechlike_pcm(9, 16000, 333)
+    buf = encode_flac(sp, 16000, block_size=600)
+    sr, dec = decode_flac(buf)
+    assert sr == 16000
+    assert np.array_equal(q16(sp), np.rint(dec.astype(np.float64) * 32767.0))
+
+    # stereo independent: decoder mixes to mono (the engine contract)
+    st = np.stack([synth_pcm(1, 8000, 400), synth_pcm(2, 8000, 400)], axis=1)
+    sr, dec = decode_flac(encode_flac(st, 8000))
+    mix = q16(st).mean(axis=1) / 32767.0
+    assert np.abs(dec - mix.astype(np.float32)).max() < 1e-4
+
+    # CONSTANT subframes collapse silence
+    silence = encode_flac(np.zeros(5000, dtype=np.float32), 8000)
+    assert len(silence) < 200
+    sr, dec = decode_flac(silence)
+    assert len(dec) == 5000 and np.all(dec == 0)
+
+    # CRC catches a flipped payload byte
+    bad = bytearray(encode_flac(pcm, 8000))
+    bad[len(bad) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+def test_flac_native_through_engine(spark):
+    """Real-FLAC payloads route by CONTENT through decode_payload (the
+    fake fixture container shares the magic; STREAMINFO layout
+    disambiguates), the header probe reads the 20-bit sample-rate field,
+    and the Spark metrics pass treats native FLAC as first-class."""
+    from doc_quality_check_spark.functions.audio import (
+        _probe_header,
+        decode_payload,
+        encode_fake_flac,
+        synth_clip_bytes,
+        synth_pcm,
+        with_audio_metrics,
+    )
+    from doc_quality_check_spark.functions.flac import encode_flac
+
+    pcm = synth_pcm(13, 16000, 500)
+    real = encode_flac(pcm, 16000)
+    fake = encode_fake_flac(pcm, 16000)
+    sr_r, dec_r = decode_payload(real, "flac")
+    sr_f, dec_f = decode_payload(fake, "flac")
+    assert sr_r == sr_f == 16000
+    # both containers carry the same int16 samples
+    assert np.allclose(dec_r, dec_f, atol=2e-4)
+    ok, sr, conf = _probe_header(real)
+    assert ok and sr == 16000 and conf > 0
+    # synth_clip_bytes gained the native label
+    via_label = synth_clip_bytes(13, 16000, 500, "flac_native")
+    assert via_label[:4] == b"fLaC" and via_label == real
+
+    df = spark.createDataFrame(
+        [("real", bytearray(real), 16000, 500, "flac", "x"),
+         ("fake", bytearray(fake), 16000, 500, "flac", "x")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got = {r["clip_id"]: r for r in with_audio_metrics(df).collect()}
+    for cid in ("real", "fake"):
+        assert got[cid]["decode_ok"], got[cid]
+        assert got[cid]["header_sr"] == 16000
+        assert abs(got[cid]["decoded_dur_ms"] - 500.0) < 1.0
+    # fake truncates toward zero, FLAC rounds-to-nearest: +-1 LSB apart
+    assert abs(got["real"]["energy_ratio"] - got["fake"]["energy_ratio"]) < 1e-3
