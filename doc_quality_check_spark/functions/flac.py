@@ -375,7 +375,24 @@ def _best_rice_k(zig: np.ndarray) -> int:
     return best_k
 
 
-def _encode_channel(wr: _BitWriter, x: np.ndarray, bps: int) -> None:
+def _write_rice_residual(wr: _BitWriter, resid: np.ndarray) -> None:
+    zig = np.where(resid >= 0, resid << 1, (-resid << 1) - 1).astype(
+        np.int64
+    )
+    k = _best_rice_k(zig)
+    wr.write(0, 2)  # rice method (4-bit params)
+    wr.write(0, 4)  # partition order 0
+    wr.write(k, 4)
+    for v in zig:
+        v = int(v)
+        wr.unary(v >> k)
+        if k:
+            wr.write(v & ((1 << k) - 1), k)
+
+
+def _encode_channel(
+    wr: _BitWriter, x: np.ndarray, bps: int, use_lpc: bool = False
+) -> None:
     n = len(x)
     if n and np.all(x == x[0]):
         wr.write(0, 1)
@@ -383,6 +400,35 @@ def _encode_channel(wr: _BitWriter, x: np.ndarray, bps: int) -> None:
         wr.write(0, 1)
         wr.write(int(x[0]), bps)
         return
+    if use_lpc and n > 8:
+        # order-2 LPC: solve the 2x2 normal equations on the block's
+        # autocorrelation, quantize at precision 12 — exercises the
+        # decoder's LPC subframe path with exact residual reconstruction
+        xf = x.astype(np.float64)
+        r0 = float(np.dot(xf, xf))
+        r1 = float(np.dot(xf[1:], xf[:-1]))
+        r2 = float(np.dot(xf[2:], xf[:-2]))
+        det = r0 * r0 - r1 * r1
+        if det > 1e-9 and r0 > 0:
+            a1 = (r1 * r0 - r1 * r2) / det
+            a2 = (r2 * r0 - r1 * r1) / det
+            shift = 10
+            q1 = int(np.clip(round(a1 * (1 << shift)), -2048, 2047))
+            q2 = int(np.clip(round(a2 * (1 << shift)), -2048, 2047))
+            xi = x.astype(np.int64)
+            pred = (q1 * xi[1:-1] + q2 * xi[:-2]) >> shift
+            resid = xi[2:] - pred
+            wr.write(0, 1)
+            wr.write(32 + (2 - 1), 6)  # LPC, order 2
+            wr.write(0, 1)
+            wr.write(int(xi[0]), bps)
+            wr.write(int(xi[1]), bps)
+            wr.write(12 - 1, 4)  # precision 12
+            wr.write(shift, 5)  # non-negative shift
+            wr.write(q1, 12)
+            wr.write(q2, 12)
+            _write_rice_residual(wr, resid)
+            return
     # pick the cheapest fixed order 0..2 by residual magnitude sum
     # (np.diff applied `order` times IS the FIXED-order residual, with
     # warmup samples x[:order])
@@ -402,32 +448,33 @@ def _encode_channel(wr: _BitWriter, x: np.ndarray, bps: int) -> None:
     wr.write(0, 1)  # no wasted bits
     for i in range(order):
         wr.write(int(x[i]), bps)
-    zig = np.where(resid >= 0, resid << 1, (-resid << 1) - 1).astype(
-        np.int64
-    )
-    k = _best_rice_k(zig)
-    wr.write(0, 2)  # rice method (4-bit params)
-    wr.write(0, 4)  # partition order 0
-    wr.write(k, 4)
-    for v in zig:
-        v = int(v)
-        wr.unary(v >> k)
-        if k:
-            wr.write(v & ((1 << k) - 1), k)
+    _write_rice_residual(wr, resid)
 
 
 def encode_flac(
-    pcm: np.ndarray, sr_hz: int, block_size: int = 4096
+    pcm: np.ndarray,
+    sr_hz: int,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    use_lpc: bool = False,
 ) -> bytes:
     """float32 [-1,1] (n,) mono or (n, 2) stereo → REAL native FLAC
-    (16-bit, fixed blocking, FIXED-predictor + Rice frames, correct
-    CRC-8/CRC-16). decode_flac(encode_flac(x)) is bit-exact on the
-    quantized int16 samples."""
+    (16-bit, fixed blocking, FIXED-predictor + Rice frames — or order-2
+    LPC with ``use_lpc=True`` — correct CRC-8/CRC-16).
+    decode_flac(encode_flac(x)) is bit-exact on the quantized int16
+    samples. ``stereo_mode``: 'independent', 'mid_side', 'left_side', or
+    'right_side' — the decorrelated modes exercise a decoder's side
+    channel (bps+1 bits) and reconstruction math."""
+    if stereo_mode not in ("independent", "mid_side", "left_side",
+                           "right_side"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     x = np.asarray(pcm)
     if x.ndim == 1:
         x = x[:, None]
     if x.ndim != 2 or x.shape[1] not in (1, 2):
         raise ValueError("encode_flac expects (n,) mono or (n, 2) stereo")
+    if stereo_mode != "independent" and x.shape[1] != 2:
+        raise ValueError("decorrelated stereo modes need (n, 2) input")
     q = np.clip(np.rint(np.clip(x, -1, 1) * 32767.0), -32768, 32767).astype(
         np.int64
     )
@@ -459,7 +506,12 @@ def encode_flac(
             bs_code, follow = 7, struct.pack(">H", bs - 1)
         wr.write(bs_code, 4)
         wr.write(0, 4)  # sample rate: from STREAMINFO
-        wr.write(channels - 1, 4)  # independent channels
+        if stereo_mode == "independent":
+            ch_code = channels - 1
+        else:
+            ch_code = {"left_side": 8, "right_side": 9,
+                       "mid_side": 10}[stereo_mode]
+        wr.write(ch_code, 4)
         wr.write(4, 3)  # 16-bit
         wr.write(0, 1)
         wr.flush()
@@ -468,8 +520,22 @@ def encode_flac(
         hdr += follow
         hdr.append(_crc8(bytes(hdr)))
         body = _BitWriter()
-        for c in range(channels):
-            _encode_channel(body, blk[:, c], 16)
+        if stereo_mode == "independent":
+            for c in range(channels):
+                _encode_channel(body, blk[:, c], 16, use_lpc)
+        else:
+            left = blk[:, 0]
+            right = blk[:, 1]
+            side = left - right  # 17-bit side channel
+            if stereo_mode == "left_side":
+                _encode_channel(body, left, 16, use_lpc)
+                _encode_channel(body, side, 17, use_lpc)
+            elif stereo_mode == "right_side":
+                _encode_channel(body, side, 17, use_lpc)
+                _encode_channel(body, right, 16, use_lpc)
+            else:  # mid_side: mid = (L+R)>>1 (floor), side = L-R
+                _encode_channel(body, (left + right) >> 1, 16, use_lpc)
+                _encode_channel(body, side, 17, use_lpc)
         body.flush()
         frame = bytes(hdr) + bytes(body.out)
         frame += struct.pack(">H", _crc16(frame))

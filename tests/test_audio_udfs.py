@@ -451,3 +451,44 @@ def test_flac_native_through_engine(spark):
         assert abs(got[cid]["decoded_dur_ms"] - 500.0) < 1.0
     # fake truncates toward zero, FLAC rounds-to-nearest: +-1 LSB apart
     assert abs(got["real"]["energy_ratio"] - got["fake"]["energy_ratio"]) < 1e-3
+
+
+def test_flac_stereo_modes_and_lpc():
+    """Every stereo decorrelation mode (independent / mid-side /
+    left-side / right-side — side channels at bps+1 bits) and the LPC
+    subframe path decode EXACTLY; LPC beats the FIXED predictors on
+    tonal content (compression sanity)."""
+    from doc_quality_check_spark.functions.audio import synth_pcm
+    from doc_quality_check_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    def q16(x):
+        return np.clip(np.rint(np.clip(x, -1, 1) * 32767.0), -32768, 32767)
+
+    st = np.stack(
+        [synth_pcm(1, 8000, 500), synth_pcm(2, 8000, 500)], axis=1
+    )
+    mix = q16(st).mean(axis=1).astype(np.float64) / 32767.0
+    for mode in ("independent", "mid_side", "left_side", "right_side"):
+        for lpc in (False, True):
+            sr, dec = decode_flac(
+                encode_flac(st, 8000, stereo_mode=mode, use_lpc=lpc)
+            )
+            assert sr == 8000
+            # exact samples; 1e-6 absorbs the float32 output cast
+            assert np.abs(dec.astype(np.float64) - mix).max() < 1e-6, (
+                mode, lpc,
+            )
+    m = synth_pcm(7, 8000, 600)
+    fixed = encode_flac(m, 8000)
+    lpc = encode_flac(m, 8000, use_lpc=True)
+    assert len(lpc) < len(fixed) < len(m) * 2
+    for buf in (fixed, lpc):
+        _, dec = decode_flac(buf)
+        assert np.array_equal(
+            q16(m), np.rint(dec.astype(np.float64) * 32767.0)
+        )
+    with pytest.raises(ValueError):
+        encode_flac(m, 8000, stereo_mode="mid_side")  # mono input
