@@ -1624,6 +1624,79 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q_audio_decode_metrics(spark, sf):
+    """AUDIO-codec-matrix decode under the driver gate (round 5): every
+    document row synthesizes a clip executor-side, rotating doc_id % 6
+    through PCM16 WAV, G.711 mu-law, A-law, IEEE float32, IMA ADPCM, and
+    NATIVE FLAC (functions/flac.py) — sample rate and duration derived
+    from doc_id — then one decode pass recovers (header_sr,
+    decoded_dur_ms) and self-checks the decoded PCM's SNR against the
+    regenerated source (>=30 dB for waveform codecs, >=12 dB for 4-bit
+    ADPCM). The oracle recomputes sr/duration/decode_ok from the same
+    formulas in SQL; the SNR booleans ride TRUE literals (the
+    percentiles_sketch pattern). A regression in ANY audio decode path —
+    including the round-5 format-tag dispatch — hash-fails this row."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.audio import (
+        decode_payload,
+        synth_clip_bytes,
+        synth_pcm,
+    )
+
+    docs = (
+        t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .repartition(8)
+    )
+    labels = ["pcm_s16le", "mulaw", "alaw", "pcm_f32le", "adpcm_ima_wav",
+              "flac_native"]
+
+    @F.pandas_udf(
+        "doc_id long, header_sr int, decoded_dur_ms int, decode_ok boolean,"
+        " ok_snr boolean"
+    )
+    def _decode(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            sr = 8000 << (i % 2)
+            dur = 300 + (i % 5) * 50
+            codec = labels[i % 6]
+            buf = synth_clip_bytes(i, sr, dur, codec)
+            got_sr, pcm = decode_payload(buf, codec)
+            ref = synth_pcm(i, sr, dur)
+            n = min(len(ref), len(pcm))
+            err = np.mean((ref[:n].astype(np.float64)
+                           - pcm[:n].astype(np.float64)) ** 2)
+            snr = 10 * np.log10(
+                np.mean(ref[:n].astype(np.float64) ** 2) / max(err, 1e-20)
+            ) if n else -1.0
+            bound = 12.0 if codec == "adpcm_ima_wav" else 30.0
+            rows.append((
+                i, got_sr, int(round(1000.0 * len(pcm) / got_sr)),
+                len(pcm) > 0, bool(snr >= bound and len(pcm) == len(ref)),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "header_sr", "decoded_dur_ms", "decode_ok", "ok_snr",
+        ])
+
+    return docs.select(_decode("doc_id").alias("m")).select(
+        "m.*"
+    ).orderBy("doc_id")
+
+
+SQL_AUDIO_DECODE_METRICS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8000 * (1 + doc_id % 2) AS INTEGER) AS header_sr,
+       CAST(300 + (doc_id % 5) * 50 AS INTEGER) AS decoded_dur_ms,
+       TRUE AS decode_ok,
+       TRUE AS ok_snr
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_column_corr(spark, sf):
     """Per-language Pearson correlation between declared n_chars and the
     measured whitespace word count (column-relationship profiling — the
@@ -2377,6 +2450,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_neardup": q_audio_neardup,
     "image_decode_metrics": q_image_decode_metrics,
     "video_frame_metrics": q_video_frame_metrics,
+    "audio_decode_metrics": q_audio_decode_metrics,
     "column_corr": q_column_corr,
     "heavy_hitters": q_heavy_hitters,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -2399,6 +2473,7 @@ ORACLES_EXT: dict[str, str] = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "image_decode_metrics": SQL_IMAGE_DECODE_METRICS,
     "video_frame_metrics": SQL_VIDEO_FRAME_METRICS,
+    "audio_decode_metrics": SQL_AUDIO_DECODE_METRICS,
     "column_corr": SQL_COLUMN_CORR,
     "text_clean": SQL_TEXT_CLEAN,
     "artifact_typology": _artifact_sql(),

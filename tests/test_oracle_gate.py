@@ -43,9 +43,12 @@ NEVER_SAMPLED = [
     "sessionize",
     "token_budget",
     "upsample_groups",
-    # round 5: brand-new driver-gated query (MJPEG-AVI + Y4M frame
-    # sampling with SQL-rederived fan-out) — no driver row yet, pins here
+    # round 5: brand-new driver-gated queries — no driver rows yet, pin
+    # here (MJPEG-AVI + Y4M frame sampling with SQL-rederived fan-out;
+    # the full audio codec matrix incl. G.711/ADPCM/native-FLAC with
+    # SNR self-checks)
     "video_frame_metrics",
+    "audio_decode_metrics",
 ]
 
 pytestmark = pytest.mark.skipif(
