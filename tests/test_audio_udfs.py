@@ -492,3 +492,33 @@ def test_flac_stereo_modes_and_lpc():
         )
     with pytest.raises(ValueError):
         encode_flac(m, 8000, stereo_mode="mid_side")  # mono input
+
+
+def test_flac_corrupt_streams_terminate():
+    """Robustness: random byte corruption and truncation of native FLAC
+    streams always terminates promptly in a decode or a clean ValueError
+    (in-band error row downstream) — CRC-8/16 catch payload damage, the
+    unary reader and partition checks bound every loop."""
+    from doc_quality_check_spark.functions.audio import synth_pcm
+    from doc_quality_check_spark.functions.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    base = encode_flac(synth_pcm(3, 8000, 400), 8000, block_size=512)
+    rng = np.random.default_rng(31)
+    caught = 0
+    for _ in range(80):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            buf[int(rng.integers(4, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            decode_flac(bytes(buf))
+        except ValueError:
+            caught += 1
+    assert caught > 40  # CRCs catch most corruptions
+    for cut in range(8, len(base), max(1, len(base) // 16)):
+        try:
+            decode_flac(bytes(base[:cut]))
+        except ValueError:
+            pass
