@@ -49,6 +49,11 @@ def _encode(pcm: np.ndarray, sr: int, codec: str) -> bytes:
         return encode_wav_pcmu8(pcm, sr)
     if codec == "flac":
         return encode_fake_flac(pcm, sr)
+    if codec == "flac_native":
+        # real native FLAC (round 5): lossless output container
+        from doc_quality_check_spark.functions.flac import encode_flac
+
+        return encode_flac(pcm, sr)
     return encode_wav_pcm16(pcm, sr)
 
 

@@ -94,3 +94,35 @@ def test_transform_then_validate_consistency(spark, clips):
     res = SuiteRunner(suite).run(out)
     assert res.violations.count() == 0
     res.unpersist()
+
+
+def test_transform_native_flac_roundtrip(spark):
+    """A clip labeled flac_native re-encodes as REAL FLAC after the
+    transform pass: output magic + STREAMINFO layout, decodable, gain
+    applied (round 5)."""
+    import numpy as np
+
+    from doc_quality_check_spark.functions.audio import (
+        _is_real_flac,
+        decode_payload,
+        synth_clip_bytes,
+    )
+    from doc_quality_check_spark.functions.audio_transform import (
+        transform_clips,
+    )
+
+    buf = synth_clip_bytes(17, 8000, 400, "flac_native")
+    df = spark.createDataFrame(
+        [("c1", bytearray(buf), "flac_native", 8000, 400)],
+        "clip_id string, bytes binary, codec string, sr_hz int, dur_ms int",
+    )
+    out = transform_clips(df, target_dbfs=-20.0).collect()[0]
+    assert out["transform_error"] is None
+    got = bytes(out["bytes"])
+    assert _is_real_flac(got)
+    sr, pcm = decode_payload(got, "flac_native")
+    assert sr == 8000 and len(pcm) > 0
+    # loudness actually moved toward the target
+    dbfs = 10 * np.log10(max(float(np.mean(pcm.astype(np.float64) ** 2)),
+                             1e-20))
+    assert abs(dbfs - (-20.0)) < 1.5
