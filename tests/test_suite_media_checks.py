@@ -414,3 +414,55 @@ def test_generic_checks_reference_video_metrics(spark, video_table):
     assert not any(c == "hd_or_smaller" for _, c in viols
                    if _ in ("avi_ok", "y4m_ok"))
     res.unpersist()
+
+
+def test_audio_codec_matrix_through_suite(spark):
+    """Round 5: the declarative payload checks hold across the WHOLE audio
+    codec matrix — PCM16, mu-law, A-law, float32, IMA ADPCM, native
+    FLAC — with per-codec partition verdicts: decode validity, header-sr
+    consistency, and decoded-duration consistency all pass for healthy
+    clips; a corrupt payload and a lying header fail the right checks."""
+    from doc_quality_check_spark.functions.audio import synth_clip_bytes
+
+    codecs = ["pcm_s16le", "mulaw", "alaw", "pcm_f32le", "adpcm_ima_wav",
+              "flac_native"]
+    rows = []
+    for i, c in enumerate(codecs):
+        rows.append((f"ok_{c}", bytearray(synth_clip_bytes(i, 8000, 400, c)),
+                     8000, 400, c, "x", c))
+    rows.append(("bad_header",
+                 bytearray(synth_clip_bytes(99, 8000, 400, "mulaw",
+                                            header_sr_override=16000)),
+                 8000, 400, "mulaw", "x", "bad"))
+    rows.append(("corrupt",
+                 bytearray(synth_clip_bytes(98, 8000, 400, "alaw",
+                                            corrupt=True)),
+                 8000, 400, "alaw", "x", "bad"))
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, part_key string",
+    )
+    suite = CheckSuite(
+        name="codec_matrix",
+        partition_by=["part_key"],
+        checks=[
+            Check("decodes", "payload_decode", "bytes",
+                  {"threshold": 5.0}, priority=1),
+            Check("sr_ok", "payload_sr_consistency", "bytes", priority=2),
+            Check("dur_ok", "payload_dur_consistency", "bytes",
+                  {"tolerance_ms": 50}, priority=3),
+        ],
+    )
+    res = SuiteRunner(suite).run(df, payload=True)
+    viols = {(r["clip_id"], r["constraint_id"])
+             for r in res.violations.collect()}
+    assert viols == {("bad_header", "sr_ok"), ("corrupt", "decodes")}
+    verdicts = {(r["constraint_id"], r["part_key"]): r
+                for r in res.verdicts.collect()
+                if r["part_key"] != GLOBAL_PART}
+    # every healthy codec partition fully green on all three checks
+    for c in codecs:
+        for cid in ("decodes", "sr_ok", "dur_ok"):
+            assert verdicts[(cid, c)]["passed"], (cid, c)
+    res.unpersist()
