@@ -206,6 +206,26 @@ def run_audits(spark) -> list[tuple[str, bool, str]]:
     audit("audio_neardup block equi-join",
           "SortMergeJoin" in p or "BroadcastHashJoin" in p)
 
+    # 22. round-5 media driver queries: the synthesized binary payload
+    # must never cross a shuffle — video splits synth/decode via
+    # localCheckpoint (one Exchange only for the final sort), audio keeps
+    # synth+decode inside ONE Arrow UDF (no bytes column in the plan at
+    # all). A join/aggregate sneaking between synth and decode would drag
+    # gigabytes of binary through the shuffle at 10^12 scale.
+    p = plan_of(QUERIES["video_frame_metrics"](spark, SF))
+    audit("video_frame_metrics no cartesian",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    # plans print root-first: anything BELOW MapInPandas in the tree text
+    # feeds it — an Exchange there would shuffle the binary payload
+    audit("video_frame_metrics binary stays in the scan stage",
+          "Exchange" not in p.split("MapInPandas", 1)[1]
+          if "MapInPandas" in p else False,
+          "no exchange may sit between the checkpointed scan and decode")
+    p = plan_of(QUERIES["audio_decode_metrics"](spark, SF))
+    audit("audio_decode_metrics single-UDF (no bytes column)",
+          "bytes" not in p and "ArrowEvalPython" in p)
+    audit("audio_decode_metrics no join", "Join" not in p)
+
     return results
 
 
